@@ -1,0 +1,336 @@
+package graft.operators
+
+import graft._
+import graft.functions.gf
+import graft.plans.SnapshotTable
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * The BSP crawl engine (SURVEY.md §3.1 collapsed into one per-round DAG):
+ *
+ *   frontier →(politeness window T4)→ dispatched
+ *            →(robots gate J5, "fetch" = broadcast join vs docs S3/S4)→ results
+ *            →(span extraction U1, link explode F3/U2)→ candidates
+ *            →(depth gate F6, allowed-domains F5, seen anti-join D1/D2,
+ *              per-host cap window F7)→ admitted
+ *            → new frontier (+ timeout requeues T2/T3), committed as one
+ *              snapshot per round (T6) with fetch_log lineage + counters.
+ *
+ * Replaces the reference's master/crawler/indexer processes + Pub/Sub +
+ * Firestore (gcloud_master.py / gcloud_crawler.py / gcloud_indexer.py)
+ * with a deterministic Dataset pipeline: every ordering is an explicit
+ * sort over unique keys, never partition-iteration order, so the crawl
+ * schedule and seen set are reproducible at any parallelism — that is the
+ * correctness gate (BASELINE.md §B).
+ *
+ * Scale design (10^10-URL frontier design point):
+ *  - frontier/seen live ONLY in tables; nothing crawl-sized is collected
+ *    to the driver (per-round counts are the only driver-side values).
+ *  - the per-round "fetch" broadcasts the (politeness-bounded, thus small)
+ *    dispatched set against the docs table — the 100 TB side is streamed,
+ *    never shuffled; on a bucketed docs table the probe prunes to buckets.
+ *  - seen-dedup is a left-anti join keyed by url, pre-filtered by a
+ *    broadcast Bloom sketch once `seen` is large (D1): bloom-negative
+ *    candidates skip the join entirely; positives are exactly re-checked,
+ *    so false positives never drop URLs.
+ *  - per-host politeness and caps are rank windows partitioned by host —
+ *    the only per-host serialization the problem truly requires; hot-host
+ *    skew is bounded by the politeness budget itself (a host can only
+ *    contribute budget(host) rows per round).
+ */
+object Crawler {
+
+  case class RoundStats(
+      round: Int, dispatched: Long, completed: Long, failed: Long,
+      requeued: Long, admitted: Long, frontierSize: Long, seenSize: Long)
+
+  case class CrawlSummary(rounds: Int, stats: Seq[RoundStats])
+
+  // ---- column helpers -----------------------------------------------------
+
+  /** allowed_domains predicate (F5, gcloud_master.py:50-59): blank list ⇒
+   * allow all; else exact or dot-suffix match on the lowercased host. */
+  def domainAllowed(host: Column, cfg: CrawlConfig): Column = {
+    val allowed = cfg.effectiveAllowed
+    if (allowed.isEmpty) lit(true)
+    else allowed.map(d => host === lit(d) || host.endsWith(lit("." + d)))
+      .reduce(_ || _)
+  }
+
+  /** Deterministic dense sequence assignment: total-order sort + per-
+   * partition offsets (zipWithIndex). Unlike a single-partition
+   * row_number window this scales — range partitioning spreads the sort,
+   * and the global index depends only on the total order, not on
+   * partition boundaries. */
+  def assignSeq(spark: SparkSession, df: DataFrame, order: Seq[Column],
+                base: Long): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val schema = sorted.schema.add("seq", LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (base + i + 1))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  // ---- admission gate (shared by seeds and extracted links) ---------------
+
+  /**
+   * The reference's add_urls_to_queue loop (gcloud_master.py:320-338),
+   * re-expressed set-at-a-time. Candidates carry a unique canonical order
+   * (ord1, ord2) = (parent_seq, link_pos); semantics per candidate IN ORDER:
+   * skip if seen (D1) or duplicated earlier in batch (D2); skip if domain
+   * not allowed (F5); skip if the host's enqueue-count reached the cap —
+   * cap-rejected URLs are NOT marked seen and may be re-proposed later
+   * (F7 quirk, counted at enqueue time).
+   *
+   * Set-at-a-time equivalence holds because the per-host count is
+   * monotonic: a candidate is admitted iff prior_count(host) + its rank
+   * among admitted-eligible batch candidates of that host ≤ cap.
+   */
+  def admit(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
+            hostCounts: DataFrame, cfg: CrawlConfig,
+            seenBloom: Option[org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
+    // intra-batch first-occurrence wins (D2) — deterministic via min order
+    val firstOnly = candidates
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("url")).orderBy(col("ord1"), col("ord2"))))
+      .where(col("rn") === 1).drop("rn")
+
+    // seen anti-join (D1), bloom-prefiltered when available
+    val fresh = seenBloom match {
+      case Some(bloom) =>
+        val bc = spark.sparkContext.broadcast(bloom)
+        val mightContain = udf((u: String) => bc.value.mightContainString(u))
+        val maybeSeen = firstOnly.where(mightContain(col("url")))
+        val definitelyNew = firstOnly.where(!mightContain(col("url")))
+        maybeSeen.join(seen, Seq("url"), "left_anti").unionByName(definitelyNew)
+      case None =>
+        firstOnly.join(seen, Seq("url"), "left_anti")
+    }
+
+    val eligible = fresh.where(domainAllowed(col("host"), cfg))
+
+    // per-host cap (F7): prior enqueue count + rank within batch ≤ cap
+    val hostW = Window.partitionBy(col("host")).orderBy(col("ord1"), col("ord2"))
+    eligible
+      .withColumn("host_rank", row_number().over(hostW))
+      .join(broadcast(hostCounts), Seq("host"), "left_outer")
+      .withColumn("prior", coalesce(col("cnt"), lit(0L)))
+      .where(col("prior") + col("host_rank") <= lit(cfg.maxPagesPerDomain))
+      .drop("host_rank", "cnt", "prior")
+  }
+
+  // ---- one round -----------------------------------------------------------
+
+  /** Run the crawl to completion (or maxRounds), committing one snapshot
+   * per round under `root`. Resumes from the latest committed round when
+   * one exists (restore semantics gcloud_master.py:274-318). */
+  def run(spark: SparkSession, docs: Dataset[Doc], seedUrls: Seq[String],
+          policies: Dataset[HostPolicy], cfg: CrawlConfig, root: String,
+          maxRounds: Int = 10000, bloomThreshold: Long = 100000L): CrawlSummary = {
+    import spark.implicits._
+    val snap = new SnapshotTable(root)
+
+    val emptyFrontier = spark.emptyDataset[FrontierEntry].toDF()
+      .select("url", "host", "depth", "retry", "seq")
+    val emptySeen = Seq.empty[String].toDF("url")
+    val emptyCounts = Seq.empty[(String, Long)].toDF("host", "cnt")
+    val emptySched = Seq.empty[(String, Long)].toDF("host", "dispatched")
+
+    // ---- restore or seed (gcloud_master.py:274-318 / :533-540) ----
+    var (round, nextSeq, frontier, seen, hostCounts, hostSched) =
+      snap.latestRound match {
+        case Some(r) =>
+          val m = snap.meta(r)
+          (r + 1, m("nextSeq").toLong,
+            snap.loadReplaced(spark, "frontier", r),
+            snap.loadReplaced(spark, "seen", r),
+            snap.loadReplaced(spark, "host_counts", r),
+            snap.loadReplaced(spark, "host_sched", r))
+        case None =>
+          val seedCand = seedUrls.zipWithIndex.toDF("url", "idx")
+            .select(col("url"),
+              gf.url_policy_host(col("url")).as("host"),
+              lit(0).as("depth"), lit(0).as("retry"),
+              lit(-1L).as("ord1"), col("idx").as("ord2"))
+          val admitted = admit(spark, seedCand, emptySeen, emptyCounts, cfg, None)
+          val f0 = assignSeq(spark, admitted.select("url", "host", "depth", "retry", "ord1", "ord2"),
+            Seq(col("ord1"), col("ord2")), 0L)
+            .select("url", "host", "depth", "retry", "seq")
+          val s0 = f0.select("url")
+          val c0 = f0.groupBy("host").agg(count(lit(1)).as("cnt"))
+          (0, f0.count(), f0, s0, c0, emptySched)
+      }
+
+    // tiny per-host table; joined as the LEFT of outer joins, so no explicit
+    // broadcast hint (build-left is illegal for left_outer) — AQE broadcasts
+    // the legal side on its own
+    val policyDf = policies.toDF() // host, allow, crawl_delay_s, max_pages
+    val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStats]
+
+    var frontierSize = frontier.count()
+    var seenSize = seen.count()
+
+    while (frontierSize > 0 && round < maxRounds) {
+      // ---- politeness window (T4): per-host budget from accumulated time.
+      // total_allowed(host, r) = floor((r+1)*roundSeconds / delay); the
+      // remaining budget subtracts everything already dispatched — this
+      // reproduces the reference's min-interval schedule (1 fetch per
+      // crawl_delay seconds per host) without sleeping.
+      val budget = policyDf
+        .withColumn("total_allowed",
+          floor(lit((round + 1) * cfg.roundSeconds) /
+            when(col("crawl_delay_s") > 0, col("crawl_delay_s"))
+              .otherwise(lit(cfg.defaultCrawlDelayS))))
+        .join(hostSched, Seq("host"), "left_outer")
+        .withColumn("remaining",
+          col("total_allowed") - coalesce(col("dispatched"), lit(0L)))
+        .select(col("host"), col("remaining"), col("allow"))
+
+      val hostOrder = Window.partitionBy(col("host")).orderBy(col("seq"))
+      val marked = frontier
+        .withColumn("host_rank", row_number().over(hostOrder))
+        .join(budget, Seq("host"), "left_outer")
+        .withColumn("rem", coalesce(col("remaining"),
+          floor(lit((round + 1) * cfg.roundSeconds / cfg.defaultCrawlDelayS))))
+        .withColumn("is_dispatched", col("host_rank") <= col("rem"))
+
+      val dispatched = marked.where(col("is_dispatched"))
+        .select(col("url"), col("host"), col("depth"), col("retry"), col("seq"),
+          coalesce(col("allow"), lit(true)).as("robots_allow"))
+        .localCheckpoint(true) // frontier slice reused 4+ times below
+      val deferred = marked.where(!col("is_dispatched"))
+        .select("url", "host", "depth", "retry", "seq")
+
+      // ---- "fetch": broadcast the bounded dispatched set against docs.
+      // Inner join finds fetched pages; anti join derives 404s — both keep
+      // the 100 TB docs side stream-only (build side = dispatched).
+      val docsDf = docs.toDF()
+      val fetched = docsDf.join(broadcast(dispatched), col("doc_id") === col("url"))
+      val missing = dispatched.join(
+        broadcast(fetched.select(col("url").as("fetched_url"))),
+        col("url") === col("fetched_url"), "left_anti")
+
+      val robotsOn = cfg.respectRobots
+      val fetchedTyped = fetched.select(
+        col("url"), col("host"), col("depth"), col("retry"), col("seq"),
+        when(lit(robotsOn) && !col("robots_allow"), lit("skipped_robots"))
+          .when(col("retry") < col("flaky_fails"), lit("timeout"))
+          .when(col("content_type") =!= "text/html", lit("ok_non_html"))
+          .otherwise(lit("ok")).as("status"),
+        col("raw"), col("content_type"))
+
+      val results = fetchedTyped.unionByName(
+        missing.select(col("url"), col("host"), col("depth"), col("retry"), col("seq"),
+          lit("failed").as("status"), lit(null).cast("string").as("raw"),
+          lit(null).cast("string").as("content_type")))
+        .withColumn("spans",
+          when(col("status") === "ok", gf.extract_spans(col("raw")))
+            .otherwise(array().cast(graft.functions.SpanExtract.schema)))
+        .localCheckpoint(true) // parse once; reused by links/doc_store/log
+
+      // ---- timeout requeue (T2/T3): retry+1, terminal past maxRetries
+      val timeouts = results.where(col("status") === "timeout")
+      val requeue = timeouts.where(col("retry") + 1 <= cfg.maxRetries)
+        .select(col("url"), col("host"), col("depth"),
+          (col("retry") + 1).as("retry"), col("seq").as("ord1"), lit(0).as("ord2"))
+      val timeoutFail = timeouts.where(col("retry") + 1 > cfg.maxRetries)
+
+      // ---- link expansion: ordered anchors → canonicalize → candidates
+      val parents = results.where(col("status") === "ok" &&
+        col("depth") < cfg.maxDepth) // depth gate F6 (gcloud_master.py:425-427)
+      val candidates = parents
+        .select(col("url").as("page_url"), col("depth").as("parent_depth"),
+          col("seq").as("ord1"), posexplode(col("spans")).as(Seq("pos", "span")))
+        .where(col("span.kind") === "link")
+        .select(
+          gf.url_canonicalize(col("page_url"), col("span.media_ref")).as("url"),
+          (col("parent_depth") + 1).as("depth"), col("ord1"),
+          col("span.offset").as("ord2"))
+        .where(col("url").isNotNull)
+        .withColumn("host", gf.url_policy_host(col("url")))
+        .withColumn("retry", lit(0))
+
+      val seenBloom =
+        if (seenSize >= bloomThreshold)
+          Some(seen.stat.bloomFilter("url", math.max(seenSize * 2, 1000L), 0.01))
+        else None
+      val admitted = admit(spark, candidates, seen, hostCounts, cfg, seenBloom)
+        .select("url", "host", "depth", "retry", "ord1", "ord2")
+        .localCheckpoint(true)
+
+      // ---- new sequence numbers: timeout requeues go to the back of the
+      // queue first (gcloud_master.py:525-531), then children in
+      // (parent_seq, link_pos) BFS order (:336).
+      val adds = requeue.withColumn("bucket", lit(0))
+        .unionByName(admitted.withColumn("bucket", lit(1)))
+      val newEntries = assignSeq(spark, adds,
+        Seq(col("bucket"), col("ord1"), col("ord2")), nextSeq)
+        .select("url", "host", "depth", "retry", "seq")
+        .localCheckpoint(true)
+      val addsCount = newEntries.count()
+      nextSeq += addsCount
+
+      // ---- state updates
+      val newFrontier = deferred.unionByName(newEntries)
+      val newSeen = seen.unionByName(admitted.select("url"))
+      val admittedCounts = admitted.groupBy("host").agg(count(lit(1)).as("add_cnt"))
+      val newHostCounts = hostCounts.join(admittedCounts, Seq("host"), "full_outer")
+        .select(col("host"),
+          (coalesce(col("cnt"), lit(0L)) + coalesce(col("add_cnt"), lit(0L))).as("cnt"))
+      val dispatchedCounts = dispatched.groupBy("host").agg(count(lit(1)).as("d_cnt"))
+      val newHostSched = hostSched.join(dispatchedCounts, Seq("host"), "full_outer")
+        .select(col("host"),
+          (coalesce(col("dispatched"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("dispatched"))
+
+      // ---- lineage + docs-for-indexing (S7/S9: fetch_log + doc_store)
+      val fetchLog = results.select(
+        lit(round).as("round"), col("url"), col("host"), col("depth"),
+        col("seq"), col("status"),
+        when(col("status") === "failed", lit("http_404"))
+          .when(col("status") === "timeout", lit("fetch_timeout"))
+          .when(col("status") === "skipped_robots", lit("robots_disallowed"))
+          .otherwise(lit(null).cast("string")).as("error"),
+        when(col("status") === "ok",
+          size(filter(col("spans"), s => s("kind") === "link")))
+          .otherwise(lit(0)).as("links_found"))
+
+      val docStore = results.where(col("status") === "ok").select(
+        lit(round).as("round"), col("url"),
+        coalesce(element_at(
+          transform(filter(col("spans"), s => s("kind") === "title"), s => s("text")), 1),
+          lit("")).as("title"),
+        concat_ws(" ", transform(
+          filter(col("spans"), s => s("text") =!= ""), s => s("text"))).as("text"))
+
+      // ---- commit round snapshot (T6): atomic manifest = round boundary
+      snap.commit(spark, round,
+        replaced = Map(
+          "frontier" -> newFrontier, "seen" -> newSeen,
+          "host_counts" -> newHostCounts, "host_sched" -> newHostSched),
+        appended = Map("fetch_log" -> fetchLog, "doc_store" -> docStore),
+        meta = Map("nextSeq" -> nextSeq.toString))
+
+      // reload from the committed snapshot: truncates lineage and makes the
+      // next round read exactly what a resume would read
+      frontier = snap.loadReplaced(spark, "frontier", round)
+      seen = snap.loadReplaced(spark, "seen", round)
+      hostCounts = snap.loadReplaced(spark, "host_counts", round)
+      hostSched = snap.loadReplaced(spark, "host_sched", round)
+
+      val nDispatched = dispatched.count()
+      val nFailed = results.where(col("status").isin("failed", "skipped_robots")).count() +
+        timeoutFail.count()
+      val nCompleted = results.where(col("status").isin("ok", "ok_non_html")).count()
+      frontierSize = frontier.count()
+      seenSize = seen.count()
+      stats += RoundStats(round, nDispatched, nCompleted, nFailed,
+        requeue.count(), addsCount, frontierSize, seenSize)
+      round += 1
+    }
+    CrawlSummary(round, stats.toSeq)
+  }
+}

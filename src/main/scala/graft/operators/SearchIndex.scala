@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.functions.gf
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Inverted-index build + weighted-sum search (SURVEY.md §3.2;
+ * gcloud_indexer.py:37-101): postings carry weight 2.0 for title terms and
+ * 1.0 for body terms, title-first-wins per (term, url); search tokenizes
+ * the query, joins postings per term (J1 — broadcast-hash, the query side
+ * is tiny), optionally field-filters (J2 title / J3 url-substring), sums
+ * weights per url (A3) and returns top-k by score (O1 —
+ * TakeOrderedAndProject, never a full sort).
+ *
+ * Normalization vs reference (documented, deliberate): score ties are
+ * broken by url ascending; the reference's tie order is Python dict
+ * insertion order, which is not a semantic.
+ */
+object SearchIndex {
+
+  /** doc_store(url, title, text) → postings(term, url, weight, title).
+   * Weight 2.0 for title tokens, 1.0 for body; title wins on overlap
+   * (the reference indexes title first and appends body tokens only when
+   * the url is not already posted for that term). */
+  def postings(docStore: DataFrame): DataFrame = {
+    val titleTerms = docStore.select(
+      explode(gf.tokenize(col("title"))).as("term"),
+      col("url"), lit(2.0).as("weight"), col("title"))
+    val bodyTerms = docStore.select(
+      explode(gf.tokenize(col("text"))).as("term"),
+      col("url"), lit(1.0).as("weight"), col("title"))
+    titleTerms.unionByName(bodyTerms)
+      .groupBy("term", "url")
+      .agg(max("weight").as("weight"), first("title").as("title"))
+  }
+
+  /** Weighted-sum search. field ∈ {content, title, url}
+   * (gcloud_indexer.py:74-88). Duplicate query terms score twice, as in
+   * the reference's per-token loop. */
+  def search(postings: DataFrame, query: String, field: String = "content",
+             k: Int = 10): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val terms = "[a-z0-9_]+".r.findAllIn(query.toLowerCase).toSeq.toDF("term")
+
+    val hits = postings.join(broadcast(terms), Seq("term"))
+    val filtered = field match {
+      case "title" =>
+        hits.where(array_contains(gf.tokenize(col("title")), col("term")))
+      case "url" => hits.where(col("url").contains(col("term")))
+      case _ => hits
+    }
+    filtered.groupBy("url")
+      .agg(sum("weight").as("score"), first("title").as("title"))
+      .orderBy(desc("score"), asc("url"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Minimal Iceberg-style snapshot store (SURVEY.md §7 storage note): each
+ * crawl round commits a set of named tables as immutable parquet
+ * directories plus ONE atomically-renamed JSON manifest. The manifest is
+ * the commit point — a round either exists completely or not at all, so
+ * the crawl resumes exactly from any round boundary
+ * (restore path semantics: gcloud_master.py:274-318).
+ *
+ * Layout:
+ *   root/data/<table>/r00042/          parquet files for that round's version
+ *   root/_manifests/r00042.json        { round, meta{...}, tables{name→path} }
+ *
+ * Replaced tables (frontier, seen, host_counts) point at their r<round>
+ * directory; append tables (fetch_log, counters) accumulate one directory
+ * per round and are read as a glob of all rounds ≤ the loaded one.
+ *
+ * No Iceberg runtime jar exists in this sandbox (offline resolution); the
+ * interface is deliberately narrow so a real catalog could replace it.
+ */
+class SnapshotTable(val root: String) {
+
+  private def manifestDir: Path = Paths.get(root, "_manifests")
+  private def rid(round: Int): String = f"r$round%05d"
+
+  def commit(spark: SparkSession, round: Int,
+             replaced: Map[String, DataFrame],
+             appended: Map[String, DataFrame],
+             meta: Map[String, String]): Unit = {
+    Files.createDirectories(manifestDir)
+    val all = replaced ++ appended
+    all.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$root/data/$name/${rid(round)}")
+    }
+    val tablesJson = all.keys.map(n => s""""$n": "data/$n/${rid(round)}"""").mkString(",")
+    val kindJson = (replaced.keys.map(n => s""""$n": "replace"""") ++
+      appended.keys.map(n => s""""$n": "append"""")).mkString(",")
+    val metaJson = meta.map { case (k, v) => s""""$k": "$v"""" }.mkString(",")
+    val json =
+      s"""{"round": $round, "meta": {$metaJson}, "kind": {$kindJson}, "tables": {$tablesJson}}"""
+    val tmp = manifestDir.resolve(s".${rid(round)}.json.tmp")
+    Files.writeString(tmp, json)
+    // rename is the atomic commit point
+    Files.move(tmp, manifestDir.resolve(s"${rid(round)}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def latestRound: Option[Int] = {
+    if (!Files.isDirectory(manifestDir)) return None
+    val rounds = Files.list(manifestDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("r") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("r").stripSuffix(".json").toInt)
+      .toSeq
+    if (rounds.isEmpty) None else Some(rounds.max)
+  }
+
+  def meta(round: Int): Map[String, String] = {
+    val json = Files.readString(manifestDir.resolve(s"${rid(round)}.json"))
+    // manifest JSON is machine-written with string-only meta values
+    "\"([^\"]+)\": \"([^\"]*)\"".r.findAllMatchIn(
+      json.substring(json.indexOf("\"meta\""), json.indexOf("\"kind\""))
+    ).map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  /** Latest version of a replaced table at the given round. */
+  def loadReplaced(spark: SparkSession, name: String, round: Int): DataFrame =
+    spark.read.parquet(s"$root/data/$name/${rid(round)}")
+
+  /** All appended versions of a table up to and including the round. */
+  def loadAppended(spark: SparkSession, name: String, round: Int): DataFrame = {
+    val dirs = (0 to round).map(r => s"$root/data/$name/${rid(r)}")
+      .filter(d => Files.isDirectory(Paths.get(d)))
+    spark.read.parquet(dirs: _*)
+  }
+}
