@@ -160,6 +160,200 @@ object SparkEntry {
           md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
     }),
 
+    // ---- training-data curation ops (dedup / similarity / text) ----
+
+    // exact all-pairs n-gram jaccard (brute baseline; oracle path)
+    "q_dedup_jaccard_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+        .where(size(gf.tokenize(col("text"))) >= 3)
+      operators.Dedup.jaccardBrute(docs, "doc_id", "text", n = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+
+    // MinHash+LSH near-dup detection, exact-verified: the scale path for
+    // the same result set (bands×rows tuned so P(miss@0.5) < 1e-8)
+    "q_dedup_minhash" -> ((s, dir) => {
+      val docs = s.read.parquet(t(dir, "documents"))
+        .where(size(gf.tokenize(col("text"))) >= 3)
+      operators.Dedup.minhashLSH(docs, "doc_id", "text",
+        n = 3, bands = 64, rows = 2, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+
+    // SimHash banded hamming pairs (64-bit custom expression — not
+    // SQL-expressible in the oracle; driver records rows-only)
+    "q_dedup_simhash" -> ((s, dir) => {
+      operators.Dedup.simhashPairs(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text",
+        maxHamming = 6, tables = 8)
+    }),
+
+    // embedding near-dup pairs: LSH bucket + exact cosine ≥ 0.95
+    "q_embedding_dupes" -> ((s, dir) => {
+      operators.Dedup.embeddingDupes(
+        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        threshold = 0.95, bits = 8)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
+    // brute-force cosine ANN top-5 for the first 3 vectors as queries
+    "q_ann_brute" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val queries = emb.orderBy("vec_id").limit(3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      operators.Similarity.bruteTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
+    // IVF-pruned ANN (scale path; recall-tunable — rows-only check, the
+    // exact brute result is the oracle-checked query above)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val queries = emb.orderBy("vec_id").limit(3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      operators.Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qv", k = 5, nCells = 16, nProbe = 6)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
+    // language-ID by stopword-marker argmax
+    "q_lang_id" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), operators.TextAnalysis.langId(col("text")).as("lang_pred"))
+    }),
+
+    // composite quality score
+    "q_quality_score" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          operators.TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    // token counting (words + BPE-ish subword estimate)
+    "q_token_counts" -> ((s, dir) => {
+      operators.TextAnalysis.tokenCounts(
+        s.read.parquet(t(dir, "documents")), "doc_id", "text")
+    }),
+
+    // order-sensitive rolling-hash fingerprint (xxhash64 chain — not
+    // expressible in the DuckDB oracle; rows-only)
+    "q_rolling_fingerprint" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          operators.TextAnalysis.rollingFingerprint(col("text")).as("rfp"))
+    }),
+
+    // multimodal plumbing: synthesize binary media, decode (stub) metadata,
+    // resize, frame-sample (rows-only: xxhash64-derived fake values)
+    "q_media_pipeline" -> ((s, dir) => {
+      val base = s.read.parquet(t(dir, "documents")).select("doc_id")
+      val withMedia = operators.Multimodal.fakeMediaBytes(base, "doc_id")
+      val decoded = operators.Multimodal.decodeMeta(withMedia, "media")
+      operators.Multimodal.resize(decoded, "meta", 256)
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("resized.width").as("width"), col("resized.height").as("height"),
+          col("meta.n_bytes").as("n_bytes"))
+    }),
+
+    // ---- relational coverage (SURVEY §2.3/2.5 join family) ----
+
+    // J1-style broadcast equi-join + agg: revenue per nation
+    "q_join_agg" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val o = s.read.parquet(t(dir, "orders"))
+      val n = s.read.parquet(t(dir, "nation"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // J7 semi-join: customers with at least one high-value order
+    "q_semi_join" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      val o = s.read.parquet(t(dir, "orders"))
+        .where(col("o_totalprice") > 100000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // D1-as-anti-join: parts never shipped in bulk (quantity > 45)
+    "q_anti_join" -> ((s, dir) => {
+      val p = s.read.parquet(t(dir, "part"))
+      val l = s.read.parquet(t(dir, "lineitem")).where(col("l_quantity") > 45)
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+    }),
+
+    // D3 EXCEPT: building-segment customers minus high-balance ones
+    "q_except" -> ((s, dir) => {
+      val c = s.read.parquet(t(dir, "customer"))
+      c.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .except(c.where(col("c_acctbal") > 5000.0).select("c_custkey"))
+    }),
+
+    // D4 UNION + dedup: retry-failed style re-queue merge
+    "q_union_dedup" -> ((s, dir) => {
+      val o = s.read.parquet(t(dir, "orders"))
+      o.where(col("o_orderstatus") === "F").select("o_custkey")
+        .union(o.where(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+        .distinct()
+    }),
+
+    // J3 substring theta join: term list against document text
+    "q_theta_join" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Seq("spark", "window", "cuckoo").toDF("term")
+      s.read.parquet(t(dir, "documents"))
+        .join(broadcast(terms), col("text").contains(col("term")))
+        .groupBy("term").agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // C10 retry backoff ladder: delay = 2·2^retry
+    "q_backoff" -> ((s, dir) => {
+      s.read.parquet(t(dir, "events"))
+        .select(col("event_id"), (col("event_id") % 4).as("retry"))
+        .withColumn("delay_s", lit(2.0) * pow(lit(2.0), col("retry")))
+    }),
+
+    // F3/F4/U2 link hygiene + canonicalization over synthesized messy hrefs
+    "q_url_hygiene" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("event_id"),
+          concat(lit("https://h-"), col("user_id") % 10,
+            lit(".example.test/p/"), col("user_id")).as("base"),
+          (col("event_id") % 6).as("form"))
+        .withColumn("href",
+          when(col("form") === 0, concat(lit("https://other.test/x/"), col("event_id")))
+            .when(col("form") === 1, concat(lit("/rel/"), col("event_id")))
+            .when(col("form") === 2, concat(lit("sub/"), col("event_id")))
+            .when(col("form") === 3, lit("#frag"))
+            .when(col("form") === 4, lit("javascript:void(0)"))
+            .otherwise(concat(lit("?q="), col("event_id"))))
+      ev.select(col("event_id"),
+        gf.url_canonicalize(col("base"), col("href")).as("canon"))
+        .where(col("canon").isNotNull)
+    }),
+
+    // T-pattern tumbling-window aggregation (streaming batch-equivalent)
+    "q_window_agg" -> ((s, dir) => {
+      s.read.parquet(t(dir, "events"))
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
+    }),
+
+    // O3 recent-activity: last 3 events per user
+    "q_recent_per_user" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(desc("ts"), desc("event_id"))
+      s.read.parquet(t(dir, "events"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select("user_id", "rn", "event_id", "event_type")
+    }),
+
     // token counting + quality scoring (training-data ops): whitespace
     // tokens, mean token length, stopword ratio
     "q_text_stats" -> ((s, dir) => {
@@ -172,6 +366,25 @@ object SparkEntry {
           (size(filter(col("ts"), x => x.isin(stop.map(lit(_)): _*))).cast("double")
             / size(col("ts"))).as("stopword_ratio"))
     }))
+
+  /** Brute-force exact word-3gram Jaccard pairs ≥ 0.5 — shared by the
+   * brute query and (as ground truth) the LSH query. */
+  private val jaccardPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+      |                             x -> x != '') AS ts
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-2),
+      |         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+      |  FROM toks WHERE len(ts) >= 3
+      |)
+      |SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.s, b.s))::DOUBLE
+      |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |) WHERE j >= 0.5""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -236,6 +449,126 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "q_dedup_jaccard_pairs" -> jaccardPairsSql,
+    // the LSH path is exact-verified and tuned for P(miss) < 1e-8 at the
+    // threshold, so its oracle is the same brute-force pair set
+    "q_dedup_minhash" -> jaccardPairsSql,
+    "q_embedding_dupes" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95""".stripMargin,
+    "q_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 3),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |         list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS c
+        |  FROM embeddings e CROSS JOIN q
+        |), ranked AS (
+        |  SELECT qid, vec_id, c,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT qid, rank, vec_id, round(c, 6) AS cos FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        |                             x -> x != '') AS ts
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, 'de' AS lang, len(list_filter(ts, x -> x IN ('der','die','und','das','ist','nicht','mit','ein'))) AS h FROM toks
+        |  UNION ALL SELECT doc_id, 'en', len(list_filter(ts, x -> x IN ('the','and','of','to','is','in','that','it'))) FROM toks
+        |  UNION ALL SELECT doc_id, 'es', len(list_filter(ts, x -> x IN ('el','la','de','que','y','en','los','del'))) FROM toks
+        |  UNION ALL SELECT doc_id, 'fr', len(list_filter(ts, x -> x IN ('le','la','et','les','des','un','une','est'))) FROM toks
+        |  UNION ALL SELECT doc_id, 'zh', len(list_filter(ts, x -> x IN ('de5','shi4','le5','zai4','you3','wo3','ta1','men5'))) FROM toks
+        |), ranked AS (
+        |  SELECT doc_id, lang, h,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
+        |  FROM hits
+        |)
+        |SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_pred
+        |FROM ranked WHERE rn = 1""".stripMargin,
+    "q_quality_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        |                     x -> x != '') AS ts
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    len(ts)::DOUBLE AS ntok,
+        |    length(text)::DOUBLE AS nchars,
+        |    (length(text)::DOUBLE - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) / length(text)::DOUBLE AS punct,
+        |    len(list_filter(ts, x -> x IN ('the','and','of','to','is','in','that','it')))::DOUBLE / len(ts) AS stop,
+        |    len(list_distinct(ts))::DOUBLE / len(ts) AS diversity
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |  round(0.3::DOUBLE * least(ntok / 100.0, 1.0::DOUBLE)
+        |      + 0.2::DOUBLE * (1.0::DOUBLE - least(punct * 5, 1.0::DOUBLE))
+        |      + 0.2::DOUBLE * least(stop * 5, 1.0::DOUBLE)
+        |      + 0.3::DOUBLE * diversity, 6) AS quality
+        |FROM m""".stripMargin,
+    "q_token_counts" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        |                     x -> x != '') AS ts
+        |  FROM documents
+        |)
+        |SELECT doc_id, len(ts)::BIGINT AS n_words,
+        |  CAST(list_sum(list_transform(ts, t -> CAST(ceil(length(t)/4.0) AS BIGINT))) AS BIGINT) AS n_subword_est,
+        |  length(text)::BIGINT AS n_chars_exact
+        |FROM toks""".stripMargin,
+    "q_join_agg" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0""".stripMargin,
+    "q_union_dedup" ->
+      """SELECT DISTINCT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_theta_join" ->
+      """SELECT term, COUNT(*) AS n_docs FROM documents
+        |JOIN (VALUES ('spark'), ('window'), ('cuckoo')) AS t(term)
+        |  ON contains(text, term)
+        |GROUP BY term""".stripMargin,
+    "q_backoff" ->
+      """SELECT event_id, event_id % 4 AS retry,
+        |  CAST(2.0 AS DOUBLE) * pow(CAST(2.0 AS DOUBLE), event_id % 4) AS delay_s
+        |FROM events""".stripMargin,
+    "q_url_hygiene" ->
+      """SELECT event_id, CASE
+        |  WHEN event_id % 6 = 0 THEN 'https://other.test/x/' || event_id
+        |  WHEN event_id % 6 = 1 THEN 'https://h-' || (user_id % 10) || '.example.test/rel/' || event_id
+        |  WHEN event_id % 6 = 2 THEN 'https://h-' || (user_id % 10) || '.example.test/p/sub/' || event_id
+        |  WHEN event_id % 6 = 5 THEN 'https://h-' || (user_id % 10) || '.example.test/p/' || user_id || '?q=' || event_id
+        |  END AS canon
+        |FROM events WHERE event_id % 6 IN (0, 1, 2, 5)""".stripMargin,
+    "q_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_recent_per_user" ->
+      """SELECT user_id, rn, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
     "q_text_stats" ->
       """WITH toks AS (
         |  SELECT doc_id, n_chars,

@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Sketch primitives for content dedup at scale: one-pass MinHash
+ * signatures and SimHash fingerprints as native Catalyst expressions
+ * (preferred over UDFs — SURVEY.md §2.9 preference order). Both consume a
+ * pre-tokenized/shingled array so tokenization stays in codegen'd
+ * built-ins; the expression does only the tight numeric loop.
+ *
+ * Hashing is splitmix64 over xxhash-style avalanche (public-domain
+ * constants), seeded per permutation index — deterministic across
+ * partitions, sessions, and parallelism.
+ */
+object SketchCodegen {
+
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def hash64(s: UTF8String): Long = {
+    // FNV-1a over bytes, finalized with splitmix — stable across JVMs
+    val bytes = s.getBytes
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i); h *= 0x100000001B3L; i += 1 }
+    mix64(h)
+  }
+
+  /** k min-hash values over the shingle array, one pass per permutation
+   * family via seed mixing: sig_j = min_i mix(shingle_i ^ seed_j). */
+  def minhash(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val sig = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val seed = mix64(0x5EEDB00C + j.toLong)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = mix64(shingles.getLong(i) ^ seed)
+        if (v < m) m = v
+        i += 1
+      }
+      sig(j) = m
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over token array: per-bit vote of token hashes. */
+  def simhash(tokens: ArrayData, numElementsIgnored: Int): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hash64(tokens.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Polynomial rolling hash over the token sequence (wrapping mod 2^64) —
+   * order-sensitive, unlike a content-set hash. */
+  def rollingHash(tokens: ArrayData, numElementsIgnored: Int): Long = {
+    val n = tokens.numElements()
+    var h = 0L
+    var i = 0
+    while (i < n) { h = h * 1000003L + hash64(tokens.getUTF8String(i)); i += 1 }
+    h
+  }
+
+  /** Stable 64-bit content hash of each string element. */
+  def hashArray(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = hash64(tokens.getUTF8String(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** minhash_sig(shingle_hashes: array<long>, k) → array<long>[k] */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(arr: Any): Any =
+    SketchCodegen.minhash(arr.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SketchCodegen.minhash($a, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** simhash64(tokens: array<string>) → long */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(arr: Any): Any =
+    SketchCodegen.simhash(arr.asInstanceOf[ArrayData], 0)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SketchCodegen.simhash($a, 0)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** rolling_hash64(tokens: array<string>) → long (order-sensitive) */
+case class RollingHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(arr: Any): Any =
+    SketchCodegen.rollingHash(arr.asInstanceOf[ArrayData], 0)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SketchCodegen.rollingHash($a, 0)")
+  override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(child = c)
+  override def prettyName: String = "rolling_hash64"
+}
+
+/** hash64_array(tokens: array<string>) → array<long> (stable content hash) */
+case class Hash64Array(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(arr: Any): Any =
+    SketchCodegen.hashArray(arr.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SketchCodegen.hashArray($a)")
+  override protected def withNewChildInternal(c: Expression): Hash64Array = copy(child = c)
+  override def prettyName: String = "hash64_array"
+}
+
+object sketch {
+  def minhash_sig(shingleHashes: Column, k: Int): Column =
+    GraftShim.column(MinHashSig(GraftShim.expression(shingleHashes), k))
+  def simhash64(tokens: Column): Column =
+    GraftShim.column(SimHash64(GraftShim.expression(tokens)))
+  def hash64_array(tokens: Column): Column =
+    GraftShim.column(Hash64Array(GraftShim.expression(tokens)))
+  def rolling_hash64(tokens: Column): Column =
+    GraftShim.column(RollingHash64(GraftShim.expression(tokens)))
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/**
+ * Dense-vector primitives over `array<float>` embedding columns, as native
+ * Catalyst expressions so the ANN hot loop stays inside whole-stage
+ * codegen (a Scala UDF would box every element; `aggregate`/`zip_with`
+ * HOFs interpret their lambda per element).
+ */
+object VectorCodegen {
+
+  /** cosine(a, b) as double; 0.0 when either norm is 0. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  @inline private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Random-hyperplane LSH signature: bit j = sign(v · r_j) where the
+   * plane components r_j[i] are deterministic uniforms in [-1, 1] derived
+   * from mix64(j, i) — identical on every executor with no broadcast. */
+  def rhpSig(v: ArrayData, bits: Int): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val r = mix64(mix64(0xA11CE + j.toLong) ^ i.toLong)
+        val u = (r.toDouble / Long.MaxValue.toDouble) // [-1, 1]
+        dot += v.getFloat(i) * u
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** cosine_sim(a: array<float>, b: array<float>) → double */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorCodegen.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorCodegen.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** rhp_sig(v: array<float>, bits) → long — random-hyperplane LSH bucket key */
+case class RhpSig(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    VectorCodegen.rhpSig(v.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorCodegen.rhpSig($v, $bits)")
+  override protected def withNewChildInternal(c: Expression): RhpSig = copy(child = c)
+  override def prettyName: String = "rhp_sig"
+}
+
+object vec {
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
+  def rhp_sig(v: Column, bits: Int): Column =
+    GraftShim.column(RhpSig(GraftShim.expression(v), bits))
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  lazy val queries = emb.orderBy("vec_id").limit(3)
+    .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  def localCos(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+  }
+
+  test("bruteTopK matches a local exact computation") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val qs = queries.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val got = Similarity.bruteTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = qs.flatMap { case (qid, qv) =>
+      vecs.toSeq.map { case (id, v) => (id, localCos(v, qv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((id, _), rk) => (qid, (rk + 1).toLong, id) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("ivfTopK achieves useful recall vs brute force") {
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qv",
+      k = 10, nCells = 16, nProbe = 6)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+}
