@@ -37,11 +37,22 @@ import org.apache.spark.sql.types.LongType
  *    candidates skip the join entirely; positives are exactly re-checked,
  *    so false positives never drop URLs.
  *  - per-host politeness and caps are rank windows partitioned by host —
- *    the only per-host serialization the problem truly requires; hot-host
- *    skew is bounded by the politeness budget itself (a host can only
- *    contribute budget(host) rows per round).
+ *    the only per-host serialization the problem truly requires. Hot-host
+ *    skew (the reference's own field data: one host held 421/738 pages) is
+ *    defused by SALTED TWO-PHASE windows: phase 1 ranks within
+ *    (host, salt = xxhash64(url) % S) buckets — S-way parallel even for a
+ *    host holding half the frontier — and keeps only ranks ≤ the per-host
+ *    budget/cap, so phase 2's true per-host window sees ≤ S·budget rows
+ *    per host instead of the host's whole backlog.
+ *  - intra-batch URL dedup is a min(struct(order…)) hash aggregation, not
+ *    a per-URL window: partial aggregation combines duplicates map-side,
+ *    so a URL every page links to (a homepage) never concentrates rows
+ *    into one task.
  */
 object Crawler {
+
+  /** Salt fan-out for the two-phase per-host windows. */
+  val SaltBuckets = 16
 
   case class RoundStats(
       round: Int, dispatched: Long, completed: Long, failed: Long,
@@ -93,13 +104,19 @@ object Crawler {
   def admit(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
             hostCounts: DataFrame, cfg: CrawlConfig,
             seenBloom: Option[org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
-    // intra-batch first-occurrence wins (D2) — deterministic via min order
+    // intra-batch first-occurrence wins (D2) — deterministic via min over
+    // the (ord1, ord2) total order. A hash aggregation (NOT a per-URL
+    // window): duplicates of a hot URL combine map-side before the shuffle.
     val firstOnly = candidates
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("url")).orderBy(col("ord1"), col("ord2"))))
-      .where(col("rn") === 1).drop("rn")
+      .groupBy(col("url"))
+      .agg(min(struct(col("ord1"), col("ord2"), col("host"),
+        col("depth"), col("retry"))).as("m"))
+      .select(col("url"), col("m.host").as("host"), col("m.depth").as("depth"),
+        col("m.retry").as("retry"), col("m.ord1").as("ord1"), col("m.ord2").as("ord2"))
 
-    // seen anti-join (D1), bloom-prefiltered when available
+    // seen anti-join (D1), bloom-prefiltered when available: bloom-negative
+    // candidates skip the join entirely; positives are exactly re-checked,
+    // so filter false positives never drop URLs.
     val fresh = seenBloom match {
       case Some(bloom) =>
         val bc = spark.sparkContext.broadcast(bloom)
@@ -113,9 +130,20 @@ object Crawler {
 
     val eligible = fresh.where(domainAllowed(col("host"), cfg))
 
-    // per-host cap (F7): prior enqueue count + rank within batch ≤ cap
+    // per-host cap (F7): prior enqueue count + rank within batch ≤ cap.
+    // Two-phase to defuse hot-host skew: phase 1 ranks inside
+    // (host, salt) — parallel across S buckets — and drops everything past
+    // the cap (any row whose true host rank ≤ cap has bucket rank ≤ cap),
+    // so phase 2's per-host window sees ≤ S·cap rows per host.
+    val bucketW = Window.partitionBy(col("host"), col("salt_"))
+      .orderBy(col("ord1"), col("ord2"))
+    val pruned = eligible
+      .withColumn("salt_", pmod(xxhash64(col("url")), lit(SaltBuckets)))
+      .withColumn("r1", row_number().over(bucketW))
+      .where(col("r1") <= lit(cfg.maxPagesPerDomain))
+      .drop("r1", "salt_")
     val hostW = Window.partitionBy(col("host")).orderBy(col("ord1"), col("ord2"))
-    eligible
+    pruned
       .withColumn("host_rank", row_number().over(hostW))
       .join(broadcast(hostCounts), Seq("host"), "left_outer")
       .withColumn("prior", coalesce(col("cnt"), lit(0L)))
@@ -179,23 +207,42 @@ object Crawler {
       // total_allowed(host, r) = floor((r+1)*roundSeconds / delay); the
       // remaining budget subtracts everything already dispatched — this
       // reproduces the reference's min-interval schedule (1 fetch per
-      // crawl_delay seconds per host) without sleeping.
+      // crawl_delay seconds per host) without sleeping. Full-outer with the
+      // dispatch history so hosts without a policy row still accumulate
+      // against the default delay (oracle: delayOf falls back to default).
       val budget = policyDf
+        .join(hostSched, Seq("host"), "full_outer")
         .withColumn("total_allowed",
           floor(lit((round + 1) * cfg.roundSeconds) /
-            when(col("crawl_delay_s") > 0, col("crawl_delay_s"))
-              .otherwise(lit(cfg.defaultCrawlDelayS))))
-        .join(hostSched, Seq("host"), "left_outer")
+            coalesce(when(col("crawl_delay_s") > 0, col("crawl_delay_s")),
+              lit(cfg.defaultCrawlDelayS))))
         .withColumn("remaining",
           col("total_allowed") - coalesce(col("dispatched"), lit(0L)))
         .select(col("host"), col("remaining"), col("allow"))
+      val defaultTotal =
+        math.floor((round + 1) * cfg.roundSeconds / cfg.defaultCrawlDelayS).toLong
+
+      // two-phase dispatch selection (hot-host skew defense, same pattern
+      // as admit's cap window): phase 1 ranks within (host, salt) and
+      // immediately defers rows past the host's remaining budget — for a
+      // host holding half the frontier this is S-way parallel and leaves
+      // ≤ S·rem rows; phase 2 ranks those per host to pick the true first
+      // `rem` in seq order.
+      val withRem = frontier
+        .join(budget, Seq("host"), "left_outer")
+        .withColumn("rem", coalesce(col("remaining"), lit(defaultTotal)))
+      val bucketOrder = Window.partitionBy(col("host"), col("salt_"))
+        .orderBy(col("seq"))
+      val phase1 = withRem
+        .withColumn("salt_", pmod(xxhash64(col("url")), lit(SaltBuckets)))
+        .withColumn("r1", row_number().over(bucketOrder))
+      val survivors = phase1.where(col("r1") <= col("rem")).drop("r1", "salt_")
+      val deferredEarly = phase1.where(col("r1") > col("rem"))
+        .select("url", "host", "depth", "retry", "seq")
 
       val hostOrder = Window.partitionBy(col("host")).orderBy(col("seq"))
-      val marked = frontier
+      val marked = survivors
         .withColumn("host_rank", row_number().over(hostOrder))
-        .join(budget, Seq("host"), "left_outer")
-        .withColumn("rem", coalesce(col("remaining"),
-          floor(lit((round + 1) * cfg.roundSeconds / cfg.defaultCrawlDelayS))))
         .withColumn("is_dispatched", col("host_rank") <= col("rem"))
 
       val dispatched = marked.where(col("is_dispatched"))
@@ -204,6 +251,7 @@ object Crawler {
         .localCheckpoint(true) // frontier slice reused 4+ times below
       val deferred = marked.where(!col("is_dispatched"))
         .select("url", "host", "depth", "retry", "seq")
+        .unionByName(deferredEarly)
 
       // ---- "fetch": broadcast the bounded dispatched set against docs.
       // Inner join finds fetched pages; anti join derives 404s — both keep
