@@ -1,24 +1,186 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.functions.SeenSketch
+import graft.operators.Crawler
+import graft.sources.CorpusGen
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark main (BASELINE.md §B): measures
+ *
+ *  1. frontier throughput — URLs scheduled+deduped/sec through one full
+ *     admission round (intra-batch dedup D2 → bloom-prefiltered seen
+ *     anti-join D1 → domain/cap gates F5/F7 → BFS seq assignment O2 →
+ *     politeness dispatch T4) on a deterministic synthetic frontier with
+ *     a 30%-hot host and ~duplicate/seen pollution;
+ *  2. crawl-round wall time — full engine rounds (fetch join + span
+ *     extraction + link expansion + snapshot commit) on the synthetic
+ *     interleaved-span corpus;
+ *  3. the SparkEntry query suite on the driver's sf tables;
+ *
+ * 1 and 2 run at BOTH parallelism levels (default local[8] and local[32],
+ * same JVM, same deterministic input) — the sandbox's stand-in for the
+ * north rule's N-vs-4N-executor run — and the scaling efficiency
+ * throughput_4N / (4 · throughput_N) is reported. Target ≥ 0.8.
+ *
+ * Prints ONE JSON line. Tunables (env): SPARK_GRAFT_SF_DIR,
+ * SPARK_GRAFT_CPUS (hi level), SPARK_GRAFT_CPUS_LO, SPARK_GRAFT_BENCH_CAND,
+ * SPARK_GRAFT_BENCH_DOCS.
+ */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def env(k: String, d: String) = sys.env.getOrElse(k, d)
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", math.max(cpus, 8).toString)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  // ---- 1. frontier scheduling microbench ----------------------------------
+
+  /** id → deterministic URL with a 30%-hot host (the reference's observed
+   * field skew: one host held 421/738 pages). */
+  private def urlOf(id: Column, nHosts: Int): Column = {
+    val hot = pmod(xxhash64(id, lit(1)), lit(100)) < 30
+    val host = when(hot, lit(0)).otherwise(pmod(xxhash64(id, lit(2)), lit(nHosts)))
+    concat(lit("https://h-"), host, lit(".bench.test/p/"), id)
+  }
+  private def hostOf(id: Column, nHosts: Int): Column = {
+    val hot = pmod(xxhash64(id, lit(1)), lit(100)) < 30
+    val host = when(hot, lit(0)).otherwise(pmod(xxhash64(id, lit(2)), lit(nHosts)))
+    concat(lit("h-"), host, lit(".bench.test"))
+  }
+
+  /** One admission+dispatch round over nCand candidate links (with natural
+   * duplicates) against nSeen already-seen URLs. Returns
+   * (candidates/sec, admitted, dispatched, wall_s). */
+  private def frontierRound(spark: SparkSession, nCand: Long, nSeen: Long,
+                            warm: Boolean): (Double, Long, Long, Double) = {
+    val nHosts = 10000
+    val idSpace = nCand // page-id universe
+    val cfg = CrawlConfig(maxPagesPerDomain = 2000)
+
+    // candidates: random page ids (≈37% natural duplicate rate at 1x space)
+    val cand = spark.range(nCand).select(
+      pmod(xxhash64(col("id"), lit(3)), lit(idSpace)).as("pid"),
+      col("id").as("ord1"), lit(0).as("ord2"))
+      .select(urlOf(col("pid"), nHosts).as("url"),
+        hostOf(col("pid"), nHosts).as("host"),
+        lit(1).as("depth"), lit(0).as("retry"), col("ord1"), col("ord2"))
+    // seen: page ids [0, nSeen) — sketch built once, outside the timed
+    // region (in the engine it is incrementally-maintained checkpoint state)
+    val seen = spark.range(nSeen).select(urlOf(col("id"), nHosts).as("url"))
+    val sketch = SeenSketch.build(seen, "url", "bloom", math.max(nSeen * 2, 1024))
+    val hostCounts = spark.range(0).select(lit("x").as("host"), lit(0L).as("cnt"))
+    val budget = spark.range(nHosts).select(
+      concat(lit("h-"), col("id"), lit(".bench.test")).as("host"),
+      lit(500L).as("remaining"), lit(true).as("allow"))
+
+    val (counts, secs) = timed {
+      val admitted = Crawler.admit(spark, cand, seen, hostCounts, cfg, Some(sketch))
+        .select("url", "host", "depth", "retry", "ord1", "ord2")
+      val entries = Crawler.assignSeq(spark, admitted,
+        Seq(col("ord1"), col("ord2")), 0L)
+        .select("url", "host", "depth", "retry", "seq")
+      val (disp, defer) = Crawler.dispatchSelect(entries, budget, 500L)
+      // materialize both sides (a real round consumes both)
+      (disp.count(), defer.count())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val admitted = counts._1 + counts._2
+    if (warm) (0.0, 0L, 0L, 0.0)
+    else (nCand / secs, admitted, counts._1, secs)
+  }
+
+  // ---- 2. crawl-round wall time on the interleaved-span corpus ------------
+
+  private def crawlBench(spark: SparkSession, nDocs: Long, rounds: Int): (Double, Long) = {
+    import spark.implicits._
+    val cfg = CrawlConfig(maxDepth = 12, maxPagesPerDomain = 1000000,
+      respectRobots = true, defaultCrawlDelayS = 0.002, roundSeconds = 10.0)
+    val root = java.nio.file.Files.createTempDirectory("graft-bench-crawl").toString
+    val (summary, secs) = timed {
+      Crawler.run(spark, CorpusGen.docs(spark, nDocs),
+        CorpusGen.seeds(nDocs, 512),
+        CorpusGen.policies(nDocs, cfg.defaultCrawlDelayS, cfg.maxPagesPerDomain).toDS(),
+        cfg, root, maxRounds = rounds)
+    }
+    val fetched = summary.stats.map(_.dispatched).sum
+    (secs / summary.rounds, fetched)
+  }
+
+  // ---- main ----------------------------------------------------------------
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = env("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val hi = env("SPARK_GRAFT_CPUS", "32").toInt
+    val lo = env("SPARK_GRAFT_CPUS_LO", math.max(hi / 4, 1).toString).toInt
+    val nCand = env("SPARK_GRAFT_BENCH_CAND", "8000000").toLong
+    val nSeen = nCand / 2
+    val nDocs = env("SPARK_GRAFT_BENCH_DOCS", "60000").toLong
+    val crawlRounds = 3
+
+    case class Level(cpus: Int, thr: Double, schedS: Double, admitted: Long,
+                     dispatched: Long, roundS: Double, fetched: Long)
+
+    def measure(cpus: Int): Level = {
+      val spark = session(cpus)
+      try {
+        frontierRound(spark, 200000, 100000, warm = true) // JIT/codegen warmup
+        val (thr, admitted, dispatched, schedS) =
+          frontierRound(spark, nCand, nSeen, warm = false)
+        val (roundS, fetched) = crawlBench(spark, nDocs, crawlRounds)
+        Level(cpus, thr, schedS, admitted, dispatched, roundS, fetched)
+      } finally spark.stop()
+    }
+
+    // low level FIRST so shared-JVM JIT warmup cannot favor it
+    val lvlLo = measure(lo)
+    val lvlHi = measure(hi)
+    val factor = hi.toDouble / lo
+    val effSched = lvlHi.thr / (factor * lvlLo.thr)
+    val effCrawl = lvlLo.roundS / (factor * lvlHi.roundS)
+
+    // query suite at the hi level on the driver's sf tables
+    val spark = session(hi)
+    val queries = try {
+      SparkEntry.queries.map { case (name, fn) =>
+        val (_, secs) = timed {
+          try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        }
+        name -> secs
+      }
+    } finally spark.stop()
+
+    def lvlJson(l: Level): String =
+      s"""{"cpus":${l.cpus},"frontier_urls_per_s":${l.thr.round},""" +
+      s""""sched_round_s":${"%.3f".format(l.schedS)},"admitted":${l.admitted},""" +
+      s""""dispatched":${l.dispatched},"crawl_round_s":${"%.3f".format(l.roundS)},""" +
+      s""""fetched":${l.fetched}}"""
+    val qJson = queries.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = queries.values.sum
+    println(
+      s"""{"metric":"frontier throughput, URLs scheduled+deduped/sec at local[$hi]",""" +
+      s""""value":${lvlHi.thr.round},"unit":"urls/sec",""" +
+      s""""frontier_candidates":$nCand,"frontier_seen":$nSeen,"corpus_docs":$nDocs,""" +
+      s""""lo":${lvlJson(lvlLo)},"hi":${lvlJson(lvlHi)},""" +
+      s""""scaling_factor":$factor,""" +
+      s""""scaling_efficiency_sched":${"%.3f".format(effSched)},""" +
+      s""""scaling_efficiency_crawl":${"%.3f".format(effCrawl)},""" +
+      s""""queries":$qJson,"suite_total_s":${"%.3f".format(total)},"sf":"$sfDir"}""")
   }
 }

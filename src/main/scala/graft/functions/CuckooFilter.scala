@@ -1,0 +1,204 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+/**
+ * A deletable approximate-membership filter (cuckoo filter, Fan/Andersen/
+ * Kaminsky/Mitzenmacher, CoNEXT 2014 — public algorithm), the engine's
+ * fallback to the Bloom filter when seen-set entries must be removable
+ * (SURVEY.md §2.9 U4: the reference's reset-failures flow, cli.py:194-231,
+ * re-opens previously-terminal URLs; a Bloom filter would need an O(seen)
+ * rebuild, a cuckoo filter deletes the exact entries).
+ *
+ * Layout: `numBuckets` buckets × 4 slots × 16-bit fingerprints (fp 0 =
+ * empty slot; real fingerprints are remapped to 1..65535). A key hashes to
+ * bucket i1 = H(key) and alternate i2 = i1 ^ H(fp) — the XOR form lets any
+ * stored (bucket, fp) pair recover its alternate without the key, which is
+ * what makes both deletion and shard-merging possible.
+ *
+ * No false negatives EVER for inserted-and-not-deleted keys: `insert`
+ * returns false instead of silently dropping when the kick chain exhausts
+ * (caller must rebuild bigger — Crawler treats a failed insert as
+ * "saturated" and rebuilds at 4× capacity).
+ */
+final class CuckooFilter private (val numBuckets: Int, private val slots: Array[Short])
+    extends Serializable {
+
+  import CuckooFilter._
+
+  private var count: Long = 0L
+  def cardinality: Long = count
+  /** Nominal capacity at the design load factor (0.84 for 4-way buckets). */
+  def capacity: Long = (numBuckets.toLong * SlotsPerBucket * 84L) / 100L
+
+  @inline private def fingerprintOf(key: String): Int = {
+    val h = SketchCodegen.hash64(org.apache.spark.unsafe.types.UTF8String.fromString(key))
+    val fp = ((h >>> 48) & 0xFFFFL).toInt
+    if (fp == 0) 1 else fp
+  }
+  @inline private def bucketOf(key: String): Int = {
+    val h = SketchCodegen.hash64(org.apache.spark.unsafe.types.UTF8String.fromString(key))
+    (h & (numBuckets - 1)).toInt
+  }
+  @inline private def altBucket(i: Int, fp: Int): Int = {
+    // H(fp): any fixed avalanche of the fingerprint works; must only depend on fp
+    val h = SketchCodegen.hash64(org.apache.spark.unsafe.types.UTF8String.fromString(fp.toString))
+    (i ^ (h & (numBuckets - 1))).toInt
+  }
+
+  @inline private def slot(b: Int, s: Int): Int = slots(b * SlotsPerBucket + s) & 0xFFFF
+  @inline private def setSlot(b: Int, s: Int, fp: Int): Unit =
+    slots(b * SlotsPerBucket + s) = fp.toShort
+
+  private def tryPlace(b: Int, fp: Int): Boolean = {
+    var s = 0
+    while (s < SlotsPerBucket) {
+      if (slot(b, s) == 0) { setSlot(b, s, fp); return true }
+      s += 1
+    }
+    false
+  }
+
+  private def bucketHas(b: Int, fp: Int): Boolean = {
+    var s = 0
+    while (s < SlotsPerBucket) {
+      if (slot(b, s) == fp) return true
+      s += 1
+    }
+    false
+  }
+
+  private def removeFrom(b: Int, fp: Int): Boolean = {
+    var s = 0
+    while (s < SlotsPerBucket) {
+      if (slot(b, s) == fp) { setSlot(b, s, 0); return true }
+      s += 1
+    }
+    false
+  }
+
+  /** Insert a raw (bucket, fingerprint) pair — the merge/kick primitive.
+   * Deterministic kick victim choice (rotating slot by attempt) keeps the
+   * filter state a pure function of the insertion sequence. */
+  def insertFingerprint(i1: Int, fp0: Int): Boolean = {
+    var b = i1
+    var fp = fp0
+    if (tryPlace(b, fp) || tryPlace(altBucket(b, fp), fp)) { count += 1; return true }
+    var attempt = 0
+    b = altBucket(b, fp)
+    while (attempt < MaxKicks) {
+      val victim = attempt % SlotsPerBucket
+      val evicted = slot(b, victim)
+      setSlot(b, victim, fp)
+      fp = evicted
+      b = altBucket(b, fp)
+      if (tryPlace(b, fp)) { count += 1; return true }
+      attempt += 1
+    }
+    // undo is impossible cheaply; mark saturated by restoring nothing —
+    // the displaced chain still holds every fingerprint except `fp`,
+    // which we re-place in the victim slot we last freed… simplest safe
+    // variant: put the orphan back where the chain started is not
+    // possible, so report failure with the orphan re-inserted by swap:
+    // we swap the orphan back into the last bucket's slot 0 only if empty.
+    if (tryPlace(b, fp)) { count += 1; true } else { orphan = fp; orphanBucket = b; false }
+  }
+
+  // a failed kick chain leaves one orphan fingerprint; holding it here
+  // preserves the no-false-negative contract for mightContain until the
+  // caller rebuilds (Crawler rebuilds immediately on a false return).
+  private var orphan: Int = 0
+  private var orphanBucket: Int = -1
+
+  def insert(key: String): Boolean = {
+    val fp = fingerprintOf(key)
+    val i1 = bucketOf(key)
+    // MULTISET semantics (standard cuckoo-filter contract): every insert
+    // stores a copy, even when an equal fingerprint is already present —
+    // two DIFFERENT keys that collide must own one copy each, or deleting
+    // one would false-negative the other. The seen-set use inserts each
+    // key at most once (admission dedups), so copies stay bounded.
+    insertFingerprint(i1, fp)
+  }
+
+  def mightContain(key: String): Boolean = {
+    val fp = fingerprintOf(key)
+    val i1 = bucketOf(key)
+    bucketHas(i1, fp) || bucketHas(altBucket(i1, fp), fp) ||
+      (fp == orphan && (i1 == orphanBucket || altBucket(i1, fp) == orphanBucket))
+  }
+
+  /** Remove one copy of the key's fingerprint. Returns false if absent.
+   * Only delete keys known to have been inserted (standard cuckoo-filter
+   * contract; deleting a never-inserted key could erase a colliding one). */
+  def delete(key: String): Boolean = {
+    val fp = fingerprintOf(key)
+    val i1 = bucketOf(key)
+    val ok = removeFrom(i1, fp) || removeFrom(altBucket(i1, fp), fp)
+    if (ok) count -= 1
+    ok
+  }
+
+  /** Fold another same-sized filter's fingerprints into this one (shard
+   * merge: per-partition shards → one broadcastable filter). */
+  def mergeInPlace(other: CuckooFilter): Boolean = {
+    require(other.numBuckets == numBuckets, "cuckoo shards must be same-sized")
+    var b = 0
+    var ok = true
+    while (b < other.numBuckets) {
+      var s = 0
+      while (s < SlotsPerBucket) {
+        val fp = other.slot(b, s)
+        if (fp != 0) ok &= insertFingerprint(b, fp)
+        s += 1
+      }
+      b += 1
+    }
+    ok
+  }
+
+  def serialize: Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(Magic)
+    out.writeInt(numBuckets)
+    out.writeLong(count)
+    out.writeInt(orphan)
+    out.writeInt(orphanBucket)
+    slots.foreach(out.writeShort(_))
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object CuckooFilter {
+  val SlotsPerBucket = 4
+  val MaxKicks = 500
+  private val Magic = 0x43554B46 // "CUKF"
+
+  /** Smallest power-of-two bucket count whose 0.84-load capacity ≥ n. */
+  def create(expectedInsertions: Long): CuckooFilter = {
+    val needed = math.max(64L, (expectedInsertions * 100L) / (84L * SlotsPerBucket) + 1)
+    var buckets = java.lang.Long.highestOneBit(needed)
+    if (buckets < needed) buckets <<= 1
+    require(buckets <= (1L << 30), s"cuckoo filter too large: $expectedInsertions keys")
+    new CuckooFilter(buckets.toInt, new Array[Short](buckets.toInt * SlotsPerBucket))
+  }
+
+  def deserialize(bytes: Array[Byte]): CuckooFilter = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    require(in.readInt() == Magic, "not a serialized cuckoo filter")
+    val numBuckets = in.readInt()
+    val count = in.readLong()
+    val orphan = in.readInt()
+    val orphanBucket = in.readInt()
+    val slots = new Array[Short](numBuckets * SlotsPerBucket)
+    var i = 0
+    while (i < slots.length) { slots(i) = in.readShort(); i += 1 }
+    val f = new CuckooFilter(numBuckets, slots)
+    f.count = count
+    f.orphan = orphan
+    f.orphanBucket = orphanBucket
+    f
+  }
+}

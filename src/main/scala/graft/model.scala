@@ -81,7 +81,12 @@ case class CrawlConfig(
     defaultCrawlDelayS: Double = 1.0,
     allowedDomains: Seq[String] = Nil,
     maxRetries: Int = 3,
-    roundSeconds: Double = 60.0) {
+    roundSeconds: Double = 60.0,
+    /** seen-set prefilter kind: "bloom" (default) or "cuckoo" (deletable —
+     * required for the reset-failures "forget" flow, SURVEY §2.3 D4/U4). */
+    seenSketch: String = "bloom",
+    /** initial sketch capacity; the crawler rebuilds at 4x on saturation. */
+    sketchCapacity: Long = 1L << 20) {
   /** allowed_domains semantics of gcloud_master.py:50-59: blank entries are
    * ignored; empty effective list ⇒ allow all; else case-insensitive exact
    * or dot-suffix match. */

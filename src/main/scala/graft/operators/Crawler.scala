@@ -103,7 +103,7 @@ object Crawler {
    */
   def admit(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
             hostCounts: DataFrame, cfg: CrawlConfig,
-            seenBloom: Option[org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
+            seenSketch: Option[graft.functions.SeenSketch]): DataFrame = {
     // intra-batch first-occurrence wins (D2) — deterministic via min over
     // the (ord1, ord2) total order. A hash aggregation (NOT a per-URL
     // window): duplicates of a hot URL combine map-side before the shuffle.
@@ -114,13 +114,13 @@ object Crawler {
       .select(col("url"), col("m.host").as("host"), col("m.depth").as("depth"),
         col("m.retry").as("retry"), col("m.ord1").as("ord1"), col("m.ord2").as("ord2"))
 
-    // seen anti-join (D1), bloom-prefiltered when available: bloom-negative
+    // seen anti-join (D1), sketch-prefiltered when available: sketch-negative
     // candidates skip the join entirely; positives are exactly re-checked,
     // so filter false positives never drop URLs.
-    val fresh = seenBloom match {
-      case Some(bloom) =>
-        val bc = spark.sparkContext.broadcast(bloom)
-        val mightContain = udf((u: String) => bc.value.mightContainString(u))
+    val fresh = seenSketch match {
+      case Some(sk) =>
+        val bc = spark.sparkContext.broadcast(sk)
+        val mightContain = udf((u: String) => bc.value.mightContain(u))
         val maybeSeen = firstOnly.where(mightContain(col("url")))
         val definitelyNew = firstOnly.where(!mightContain(col("url")))
         maybeSeen.join(seen, Seq("url"), "left_anti").unionByName(definitelyNew)
@@ -151,14 +151,53 @@ object Crawler {
       .drop("host_rank", "cnt", "prior")
   }
 
+  /**
+   * Politeness dispatch selection (T4): split the frontier into this
+   * round's dispatched slice (per-host first `remaining` entries in seq
+   * order) and the deferred remainder. `budget` has (host, remaining,
+   * allow); hosts absent from it get `defaultRemaining`. Two-phase salted
+   * ranking — see the class doc's skew note.
+   */
+  def dispatchSelect(frontier: DataFrame, budget: DataFrame,
+                     defaultRemaining: Long): (DataFrame, DataFrame) = {
+    val withRem = frontier
+      .join(budget, Seq("host"), "left_outer")
+      .withColumn("rem", coalesce(col("remaining"), lit(defaultRemaining)))
+    val bucketOrder = Window.partitionBy(col("host"), col("salt_"))
+      .orderBy(col("seq"))
+    val phase1 = withRem
+      .withColumn("salt_", pmod(xxhash64(col("url")), lit(SaltBuckets)))
+      .withColumn("r1", row_number().over(bucketOrder))
+    val survivors = phase1.where(col("r1") <= col("rem")).drop("r1", "salt_")
+    val deferredEarly = phase1.where(col("r1") > col("rem"))
+      .select("url", "host", "depth", "retry", "seq")
+    val hostOrder = Window.partitionBy(col("host")).orderBy(col("seq"))
+    val marked = survivors
+      .withColumn("host_rank", row_number().over(hostOrder))
+      .withColumn("is_dispatched", col("host_rank") <= col("rem"))
+    val dispatched = marked.where(col("is_dispatched"))
+      .select(col("url"), col("host"), col("depth"), col("retry"), col("seq"),
+        coalesce(col("allow"), lit(true)).as("robots_allow"))
+    val deferred = marked.where(!col("is_dispatched"))
+      .select("url", "host", "depth", "retry", "seq")
+      .unionByName(deferredEarly)
+    (dispatched, deferred)
+  }
+
   // ---- one round -----------------------------------------------------------
 
   /** Run the crawl to completion (or maxRounds), committing one snapshot
    * per round under `root`. Resumes from the latest committed round when
-   * one exists (restore semantics gcloud_master.py:274-318). */
+   * one exists (restore semantics gcloud_master.py:274-318).
+   *
+   * `sketchThreshold`: seen-set size at which the broadcast sketch
+   * prefilter engages in the admission anti-join (it is MAINTAINED from
+   * round 0 — incrementally, O(admitted) per round — and checkpointed with
+   * every snapshot, so engaging it is free; below the threshold the plain
+   * anti-join is cheaper than a broadcast + filter pass). */
   def run(spark: SparkSession, docs: Dataset[Doc], seedUrls: Seq[String],
           policies: Dataset[HostPolicy], cfg: CrawlConfig, root: String,
-          maxRounds: Int = 10000, bloomThreshold: Long = 100000L): CrawlSummary = {
+          maxRounds: Int = 10000, sketchThreshold: Long = 100000L): CrawlSummary = {
     import spark.implicits._
     val snap = new SnapshotTable(root)
 
@@ -167,17 +206,26 @@ object Crawler {
     val emptySeen = Seq.empty[String].toDF("url")
     val emptyCounts = Seq.empty[(String, Long)].toDF("host", "cnt")
     val emptySched = Seq.empty[(String, Long)].toDF("host", "dispatched")
+    val emptyFailed = Seq.empty[(String, String, Int, Int, Long, String)]
+      .toDF("url", "host", "depth", "retry", "seq", "error")
 
     // ---- restore or seed (gcloud_master.py:274-318 / :533-540) ----
-    var (round, nextSeq, frontier, seen, hostCounts, hostSched) =
+    var sketch: graft.functions.SeenSketch = null
+    var (round, nextSeq, frontier, seen, hostCounts, hostSched, failedTbl) =
       snap.latestRound match {
         case Some(r) =>
           val m = snap.meta(r)
+          sketch = snap.loadBlob("seen_sketch", r)
+            .map(graft.functions.SeenSketch.deserialize)
+            .getOrElse(graft.functions.SeenSketch.build(
+              snap.loadReplaced(spark, "seen", r), "url",
+              cfg.seenSketch, cfg.sketchCapacity))
           (r + 1, m("nextSeq").toLong,
             snap.loadReplaced(spark, "frontier", r),
             snap.loadReplaced(spark, "seen", r),
             snap.loadReplaced(spark, "host_counts", r),
-            snap.loadReplaced(spark, "host_sched", r))
+            snap.loadReplaced(spark, "host_sched", r),
+            snap.loadReplaced(spark, "failed", r))
         case None =>
           val seedCand = seedUrls.zipWithIndex.toDF("url", "idx")
             .select(col("url"),
@@ -188,9 +236,12 @@ object Crawler {
           val f0 = assignSeq(spark, admitted.select("url", "host", "depth", "retry", "ord1", "ord2"),
             Seq(col("ord1"), col("ord2")), 0L)
             .select("url", "host", "depth", "retry", "seq")
+            .localCheckpoint(true)
           val s0 = f0.select("url")
           val c0 = f0.groupBy("host").agg(count(lit(1)).as("cnt"))
-          (0, f0.count(), f0, s0, c0, emptySched)
+          sketch = graft.functions.SeenSketch.empty(cfg.seenSketch, cfg.sketchCapacity)
+          s0.as[String].collect().foreach(sketch.add)
+          (0, f0.count(), f0, s0, c0, emptySched, emptyFailed)
       }
 
     // tiny per-host table; joined as the LEFT of outer joins, so no explicit
@@ -228,30 +279,9 @@ object Crawler {
       // host holding half the frontier this is S-way parallel and leaves
       // ≤ S·rem rows; phase 2 ranks those per host to pick the true first
       // `rem` in seq order.
-      val withRem = frontier
-        .join(budget, Seq("host"), "left_outer")
-        .withColumn("rem", coalesce(col("remaining"), lit(defaultTotal)))
-      val bucketOrder = Window.partitionBy(col("host"), col("salt_"))
-        .orderBy(col("seq"))
-      val phase1 = withRem
-        .withColumn("salt_", pmod(xxhash64(col("url")), lit(SaltBuckets)))
-        .withColumn("r1", row_number().over(bucketOrder))
-      val survivors = phase1.where(col("r1") <= col("rem")).drop("r1", "salt_")
-      val deferredEarly = phase1.where(col("r1") > col("rem"))
-        .select("url", "host", "depth", "retry", "seq")
-
-      val hostOrder = Window.partitionBy(col("host")).orderBy(col("seq"))
-      val marked = survivors
-        .withColumn("host_rank", row_number().over(hostOrder))
-        .withColumn("is_dispatched", col("host_rank") <= col("rem"))
-
-      val dispatched = marked.where(col("is_dispatched"))
-        .select(col("url"), col("host"), col("depth"), col("retry"), col("seq"),
-          coalesce(col("allow"), lit(true)).as("robots_allow"))
+      val (dispatchedRaw, deferred) = dispatchSelect(frontier, budget, defaultTotal)
+      val dispatched = dispatchedRaw
         .localCheckpoint(true) // frontier slice reused 4+ times below
-      val deferred = marked.where(!col("is_dispatched"))
-        .select("url", "host", "depth", "retry", "seq")
-        .unionByName(deferredEarly)
 
       // ---- "fetch": broadcast the bounded dispatched set against docs.
       // Inner join finds fetched pages; anti join derives 404s — both keep
@@ -302,11 +332,8 @@ object Crawler {
         .withColumn("host", gf.url_policy_host(col("url")))
         .withColumn("retry", lit(0))
 
-      val seenBloom =
-        if (seenSize >= bloomThreshold)
-          Some(seen.stat.bloomFilter("url", math.max(seenSize * 2, 1000L), 0.01))
-        else None
-      val admitted = admit(spark, candidates, seen, hostCounts, cfg, seenBloom)
+      val prefilter = if (seenSize >= sketchThreshold) Some(sketch) else None
+      val admitted = admit(spark, candidates, seen, hostCounts, cfg, prefilter)
         .select("url", "host", "depth", "retry", "ord1", "ord2")
         .localCheckpoint(true)
 
@@ -325,6 +352,27 @@ object Crawler {
       // ---- state updates
       val newFrontier = deferred.unionByName(newEntries)
       val newSeen = seen.unionByName(admitted.select("url"))
+
+      // incremental sketch maintenance: O(admitted) per round, never a
+      // seen-sized rebuild — except on saturation, where we rebuild 4x
+      // bigger from the full seen table (amortized O(seen) per crawl).
+      val addIt = admitted.select("url").as[String].toLocalIterator
+      while (addIt.hasNext) sketch.add(addIt.next())
+      if (sketch.saturated)
+        sketch = graft.functions.SeenSketch.build(newSeen, "url", cfg.seenSketch,
+          math.max(4L * (seenSize + addsCount), sketch.capacity * 4))
+
+      // terminal failures accumulate in the checkpointed failed table
+      // (CrawlState.failed, gcloud_master.py:197-207) — the reset-failures
+      // flow (D4) re-opens them.
+      val failedNow = results
+        .where(col("status") === "failed" || col("status") === "skipped_robots")
+        .unionByName(timeoutFail)
+        .select(col("url"), col("host"), col("depth"), col("retry"), col("seq"),
+          when(col("status") === "failed", lit("http_404"))
+            .when(col("status") === "skipped_robots", lit("robots_disallowed"))
+            .otherwise(lit("retries_exhausted")).as("error"))
+      val newFailed = failedTbl.unionByName(failedNow)
       val admittedCounts = admitted.groupBy("host").agg(count(lit(1)).as("add_cnt"))
       val newHostCounts = hostCounts.join(admittedCounts, Seq("host"), "full_outer")
         .select(col("host"),
@@ -358,9 +406,11 @@ object Crawler {
       snap.commit(spark, round,
         replaced = Map(
           "frontier" -> newFrontier, "seen" -> newSeen,
-          "host_counts" -> newHostCounts, "host_sched" -> newHostSched),
+          "host_counts" -> newHostCounts, "host_sched" -> newHostSched,
+          "failed" -> newFailed),
         appended = Map("fetch_log" -> fetchLog, "doc_store" -> docStore),
-        meta = Map("nextSeq" -> nextSeq.toString))
+        meta = Map("nextSeq" -> nextSeq.toString),
+        blobs = Map("seen_sketch" -> graft.functions.SeenSketch.serialize(sketch)))
 
       // reload from the committed snapshot: truncates lineage and makes the
       // next round read exactly what a resume would read
@@ -368,6 +418,7 @@ object Crawler {
       seen = snap.loadReplaced(spark, "seen", round)
       hostCounts = snap.loadReplaced(spark, "host_counts", round)
       hostSched = snap.loadReplaced(spark, "host_sched", round)
+      failedTbl = snap.loadReplaced(spark, "failed", round)
 
       val nDispatched = dispatched.count()
       val nFailed = results.where(col("status").isin("failed", "skipped_robots")).count() +
@@ -380,5 +431,90 @@ object Crawler {
       round += 1
     }
     CrawlSummary(round, stats.toSeq)
+  }
+
+  /**
+   * reset-failures (D4, cli.py:194-231 / templates/app.py:1207-1292):
+   * re-open terminally-failed URLs, committed as a new round boundary so a
+   * subsequent run() resumes from the reset state.
+   *
+   *  - `forget = false` (reference-faithful): failed URLs re-enter the
+   *    frontier at the back of the queue (membership-checked against the
+   *    current frontier, retry counter reset), `failed` is cleared, `seen`
+   *    is untouched — exactly the reference's move-failed-to-queue loop.
+   *  - `forget = true` (the deletable-seen flow the north rule's cuckoo
+   *    filter exists for): failed URLs are REMOVED from the seen set, the
+   *    seen sketch (cuckoo: exact per-entry deletes; bloom: forced 4x-
+   *    amortized rebuild from the shrunken seen table), the per-host
+   *    enqueue counts, and `failed` — so the crawl re-admits them
+   *    organically the next time any page links to them.
+   *
+   * Returns the number of URLs re-opened.
+   */
+  def resetFailures(spark: SparkSession, root: String, cfg: CrawlConfig,
+                    forget: Boolean = false): Long = {
+    import spark.implicits._
+    val snap = new SnapshotTable(root)
+    val r = snap.latestRound.getOrElse(
+      throw new IllegalStateException("no crawl state to reset"))
+    val nextSeq = snap.meta(r)("nextSeq").toLong
+    val frontier = snap.loadReplaced(spark, "frontier", r)
+    val seen = snap.loadReplaced(spark, "seen", r)
+    val hostCounts = snap.loadReplaced(spark, "host_counts", r)
+    val hostSched = snap.loadReplaced(spark, "host_sched", r)
+    val failedTbl = snap.loadReplaced(spark, "failed", r)
+      .groupBy("url")
+      .agg(min(struct(col("seq"), col("host"), col("depth"))).as("m"))
+      .select(col("url"), col("m.host").as("host"), col("m.depth").as("depth"),
+        col("m.seq").as("seq"))
+      .localCheckpoint(true)
+    val n = failedTbl.count()
+    if (n == 0) return 0L
+
+    var sketch = snap.loadBlob("seen_sketch", r)
+      .map(graft.functions.SeenSketch.deserialize)
+      .getOrElse(graft.functions.SeenSketch.build(seen, "url",
+        cfg.seenSketch, cfg.sketchCapacity))
+    val emptyFailed = Seq.empty[(String, String, Int, Int, Long, String)]
+      .toDF("url", "host", "depth", "retry", "seq", "error")
+
+    val (newFrontier, newSeen, newHostCounts, reopened) =
+      if (!forget) {
+        // queue-membership-checked append at the back (cli.py:217-219)
+        val toRetry = failedTbl.join(frontier, Seq("url"), "left_anti")
+          .select(col("url"), col("host"), col("depth"),
+            lit(0).as("retry"), col("seq").as("ord1"), lit(0).as("ord2"))
+        val entries = assignSeq(spark, toRetry,
+          Seq(col("ord1"), col("ord2")), nextSeq)
+          .select("url", "host", "depth", "retry", "seq")
+          .localCheckpoint(true)
+        (frontier.unionByName(entries), seen, hostCounts, entries.count())
+      } else {
+        val shrunk = seen.join(failedTbl.select("url"), Seq("url"), "left_anti")
+          .localCheckpoint(true)
+        if (sketch.kind == "cuckoo") {
+          val it = failedTbl.select("url").as[String].toLocalIterator
+          while (it.hasNext) sketch.delete(it.next())
+        } else {
+          sketch = graft.functions.SeenSketch.build(shrunk, "url",
+            sketch.kind, math.max(sketch.capacity, cfg.sketchCapacity))
+        }
+        // inverse of admission: give the hosts their cap budget back
+        val dec = failedTbl.groupBy("host").agg(count(lit(1)).as("dec"))
+        val counts = hostCounts.join(dec, Seq("host"), "left_outer")
+          .select(col("host"),
+            greatest(col("cnt") - coalesce(col("dec"), lit(0L)), lit(0L)).as("cnt"))
+        (frontier, shrunk, counts, n)
+      }
+
+    snap.commit(spark, r + 1,
+      replaced = Map(
+        "frontier" -> newFrontier, "seen" -> newSeen,
+        "host_counts" -> newHostCounts,
+        "host_sched" -> hostSched, "failed" -> emptyFailed),
+      appended = Map.empty,
+      meta = Map("nextSeq" -> (nextSeq + (if (forget) 0L else reopened)).toString),
+      blobs = Map("seen_sketch" -> graft.functions.SeenSketch.serialize(sketch)))
+    reopened
   }
 }

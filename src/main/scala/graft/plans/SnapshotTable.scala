@@ -31,11 +31,19 @@ class SnapshotTable(val root: String) {
   def commit(spark: SparkSession, round: Int,
              replaced: Map[String, DataFrame],
              appended: Map[String, DataFrame],
-             meta: Map[String, String]): Unit = {
+             meta: Map[String, String],
+             blobs: Map[String, Array[Byte]] = Map.empty): Unit = {
     Files.createDirectories(manifestDir)
     val all = replaced ++ appended
     all.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$root/data/$name/${rid(round)}")
+    }
+    // binary sidecars (e.g. the serialized seen-filter shards) are written
+    // BEFORE the manifest rename, so a committed round always has them
+    blobs.foreach { case (name, bytes) =>
+      val dir = Paths.get(root, "blobs", name)
+      Files.createDirectories(dir)
+      Files.write(dir.resolve(s"${rid(round)}.bin"), bytes)
     }
     val tablesJson = all.keys.map(n => s""""$n": "data/$n/${rid(round)}"""").mkString(",")
     val kindJson = (replaced.keys.map(n => s""""$n": "replace"""") ++
@@ -71,6 +79,12 @@ class SnapshotTable(val root: String) {
   /** Latest version of a replaced table at the given round. */
   def loadReplaced(spark: SparkSession, name: String, round: Int): DataFrame =
     spark.read.parquet(s"$root/data/$name/${rid(round)}")
+
+  /** Binary sidecar committed with the round, if any. */
+  def loadBlob(name: String, round: Int): Option[Array[Byte]] = {
+    val p = Paths.get(root, "blobs", name, s"${rid(round)}.bin")
+    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+  }
 
   /** All appended versions of a table up to and including the round. */
   def loadAppended(spark: SparkSession, name: String, round: Int): DataFrame = {

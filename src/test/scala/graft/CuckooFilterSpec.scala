@@ -1,0 +1,114 @@
+package graft
+
+import graft.functions.{CuckooFilter, SeenSketch}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * U4 (SURVEY.md §2.9): the deletable seen-filter. Contract under test:
+ * NO false negatives ever for live (inserted-and-not-deleted) keys —
+ * a false negative would silently drop a URL from the crawl; false
+ * positives are fine (the engine exactly re-checks against the seen
+ * table). Deletion must restore "unseen" for the deleted key without
+ * evicting any other live key.
+ */
+class CuckooFilterSpec extends AnyFunSuite {
+
+  private def keys(n: Int, tag: String): Seq[String] =
+    (0 until n).map(i => s"https://h-$tag.example.test/p/$i")
+
+  test("inserted keys are always found (no false negatives)") {
+    val f = CuckooFilter.create(10000)
+    val ks = keys(8000, "a")
+    ks.foreach(k => assert(f.insert(k), s"insert failed below capacity: $k"))
+    ks.foreach(k => assert(f.mightContain(k), s"false negative: $k"))
+  }
+
+  test("false positive rate is small on disjoint keys") {
+    val f = CuckooFilter.create(10000)
+    keys(8000, "a").foreach(f.insert)
+    val fps = keys(10000, "b").count(f.mightContain)
+    // 16-bit fingerprints, 2 buckets x 4 slots: expected fpr ~ 8/2^16 ≈ 0.012%
+    assert(fps < 40, s"fp count $fps out of 10000")
+  }
+
+  test("delete removes the key and never evicts other live keys") {
+    val f = CuckooFilter.create(4096)
+    val live = keys(1500, "a")
+    val dead = keys(1500, "b")
+    (live ++ dead).foreach(f.insert)
+    dead.foreach(k => assert(f.delete(k)))
+    live.foreach(k => assert(f.mightContain(k), s"delete evicted live key $k"))
+    // deleted keys read as absent (fingerprint collisions aside)
+    val stillThere = dead.count(f.mightContain)
+    assert(stillThere < 10, s"$stillThere of 1500 deleted keys still positive")
+  }
+
+  test("multiset semantics: n inserts need n deletes; colliding keys stay safe") {
+    val f = CuckooFilter.create(256)
+    assert(f.insert("u1")); assert(f.insert("u1")) // stores two copies
+    assert(f.delete("u1"))
+    assert(f.mightContain("u1")) // one copy left
+    assert(f.delete("u1"))
+    assert(!f.mightContain("u1"))
+  }
+
+  test("saturation reports false instead of silently dropping") {
+    val f = CuckooFilter.create(64)
+    var inserted = 0
+    var failed = false
+    keys(5000, "x").foreach { k =>
+      if (!failed) { if (f.insert(k)) inserted += 1 else failed = true }
+    }
+    assert(failed, "tiny filter must eventually refuse inserts")
+    assert(inserted >= 64, s"should hold at least nominal capacity, got $inserted")
+  }
+
+  test("serialization round-trips exactly") {
+    val f = CuckooFilter.create(2048)
+    val ks = keys(1000, "a")
+    ks.foreach(f.insert)
+    val g = CuckooFilter.deserialize(f.serialize)
+    assert(g.cardinality == f.cardinality)
+    ks.foreach(k => assert(g.mightContain(k)))
+    assert(g.delete(ks.head) && !g.mightContain(ks.head))
+  }
+
+  test("shard merge preserves every key (distributed build primitive)") {
+    val a = CuckooFilter.create(4096)
+    val b = CuckooFilter.create(4096)
+    val ka = keys(1000, "a")
+    val kb = keys(1000, "b")
+    ka.foreach(a.insert)
+    kb.foreach(b.insert)
+    assert(a.mergeInPlace(b))
+    (ka ++ kb).foreach(k => assert(a.mightContain(k), s"merge lost $k"))
+  }
+
+  test("property: random insert/delete interleavings keep live keys visible") {
+    (0 until 20).foreach { trial =>
+      val rng = new scala.util.Random(42 + trial)
+      val ks = Seq.fill(300)(rng.alphanumeric.take(1 + rng.nextInt(24)).mkString).distinct
+      val f = CuckooFilter.create(2048)
+      ks.foreach(f.insert)
+      val (del, keep) = ks.zipWithIndex.partition(_._2 % 3 == 0)
+      del.foreach { case (k, _) => f.delete(k) }
+      keep.foreach { case (k, _) =>
+        assert(f.mightContain(k), s"trial $trial lost live key $k") }
+    }
+  }
+
+  test("SeenSketch bloom/cuckoo round-trip through the blob encoding") {
+    Seq("bloom", "cuckoo").foreach { kind =>
+      val s = SeenSketch.empty(kind, 10000)
+      val ks = keys(500, kind)
+      ks.foreach(s.add)
+      val t = SeenSketch.deserialize(SeenSketch.serialize(s))
+      assert(t.kind == kind)
+      ks.foreach(k => assert(t.mightContain(k)))
+      if (kind == "cuckoo") {
+        assert(t.delete(ks.head))
+        assert(!t.mightContain(ks.head))
+      } else assert(!t.delete(ks.head))
+    }
+  }
+}
