@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // batch-throughput GC: the engine's hot paths (span parse, URL
+  // canonicalize, shuffle rows) are allocation-heavy; parallel scavenge
+  // with a large young gen beats G1 pause-targeting for this profile
+  "-XX:+UseParallelGC",
+  s"-Xmn${sys.env.getOrElse("SPARK_DRIVER_YOUNG", "12g")}",
 )

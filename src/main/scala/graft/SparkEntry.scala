@@ -162,10 +162,13 @@ object SparkEntry {
 
     // ---- training-data curation ops (dedup / similarity / text) ----
 
-    // exact all-pairs n-gram jaccard (brute baseline; oracle path)
+    // exact all-pairs n-gram jaccard (brute baseline; oracle path).
+    // Deterministically capped to doc_id < 500 — quadratic by design, so
+    // the cost must not scale with sf (the LSH query below is the scale
+    // path over the full table).
     "q_dedup_jaccard_pairs" -> ((s, dir) => {
       val docs = s.read.parquet(t(dir, "documents"))
-        .where(size(gf.tokenize(col("text"))) >= 3)
+        .where(col("doc_id") < 500 && size(gf.tokenize(col("text"))) >= 3)
       operators.Dedup.jaccardBrute(docs, "doc_id", "text", n = 3, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
     }),
@@ -369,11 +372,11 @@ object SparkEntry {
 
   /** Brute-force exact word-3gram Jaccard pairs ≥ 0.5 — shared by the
    * brute query and (as ground truth) the LSH query. */
-  private val jaccardPairsSql: String =
-    """WITH toks AS (
+  private def jaccardPairsSqlFor(where: String): String =
+    s"""WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
       |                             x -> x != '') AS ts
-      |  FROM documents
+      |  FROM documents$where
       |), sh AS (
       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-2),
       |         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
@@ -449,10 +452,10 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
-    "q_dedup_jaccard_pairs" -> jaccardPairsSql,
+    "q_dedup_jaccard_pairs" -> jaccardPairsSqlFor(" WHERE doc_id < 500"),
     // the LSH path is exact-verified and tuned for P(miss) < 1e-8 at the
     // threshold, so its oracle is the same brute-force pair set
-    "q_dedup_minhash" -> jaccardPairsSql,
+    "q_dedup_minhash" -> jaccardPairsSqlFor(""),
     "q_embedding_dupes" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos

@@ -71,19 +71,37 @@ object Crawler {
       .reduce(_ || _)
   }
 
-  /** Deterministic dense sequence assignment: total-order sort + per-
-   * partition offsets (zipWithIndex). Unlike a single-partition
-   * row_number window this scales — range partitioning spreads the sort,
-   * and the global index depends only on the total order, not on
-   * partition boundaries. */
+  /** Deterministic dense sequence assignment (seq = base + global rank in
+   * the given total order). Scales as: range-partition by the order keys →
+   * in-partition sort → monotonically_increasing_id (encodes partition id
+   * in the upper bits, in-partition position in the lower 33) → add the
+   * cumulative per-partition offsets via a broadcast join. Everything
+   * stays inside Tungsten/codegen (no RDD object round-trip, no global
+   * single-partition window), and the result depends only on the total
+   * order — partition boundaries (sampled by the range partitioner) cancel
+   * out of offset + rank, so the seq is reproducible at any parallelism. */
   def assignSeq(spark: SparkSession, df: DataFrame, order: Seq[Column],
                 base: Long): DataFrame = {
-    val sorted = df.orderBy(order: _*)
-    val schema = sorted.schema.add("seq", LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (base + i + 1))
-    }
-    spark.createDataFrame(rdd, schema)
+    import spark.implicits._
+    val prepared = df
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_mid", monotonically_increasing_id())
+      .localCheckpoint(true) // pin boundaries: offsets must match the data
+    val perPart = prepared
+      .groupBy(shiftrightunsigned(col("_mid"), 33).as("_pid"))
+      .agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = perPart.map { case (pid, cnt) =>
+      val o = acc; acc += cnt; (pid, o)
+    }.toSeq.toDF("_pid", "_offset")
+    prepared
+      .join(broadcast(offsets),
+        shiftrightunsigned(col("_mid"), 33) === col("_pid"))
+      .withColumn("seq",
+        lit(base + 1) + col("_offset") + (col("_mid").bitwiseAND(lit((1L << 33) - 1))))
+      .drop("_mid", "_pid", "_offset")
   }
 
   // ---- admission gate (shared by seeds and extracted links) ---------------
