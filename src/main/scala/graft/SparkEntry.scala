@@ -144,6 +144,23 @@ object SparkEntry {
           concat(substring(col("text"), 1, 200), lit("...")).as("snippet"))
     }),
 
+    // C8 variant: query-centered snippet window (templates/app.py:675-694)
+    "q_snippet_centered" -> ((s, dir) => {
+      val pos = locate("data", col("text"))
+      s.read.parquet(t(dir, "documents"))
+        .where(pos > 0)
+        .select(col("doc_id"),
+          col("text").substr(greatest(pos - 20, lit(1)), lit(60)).as("ctx"))
+    }),
+
+    // J6 url → stored-page point lookup (templates/app.py:807-904): exact
+    // key predicate reaches the scan (PlanAuditSpec checks pushdown class)
+    "q_point_lookup" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .where(col("doc_id") === 42)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // exact dedup over documents: first doc_id wins per identical text
     // (training-data op; same shape as D1 at content level)
     "q_dedup_exact" -> ((s, dir) => {
@@ -446,6 +463,12 @@ object SparkEntry {
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "q_snippet" ->
       "SELECT doc_id, substr(text, 1, 200) || '...' AS snippet FROM documents",
+    "q_snippet_centered" ->
+      """SELECT doc_id,
+        |  substr(text, greatest(strpos(text, 'data') - 20, 1), 60) AS ctx
+        |FROM documents WHERE strpos(text, 'data') > 0""".stripMargin,
+    "q_point_lookup" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42",
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dupes
         |FROM documents GROUP BY text""".stripMargin,

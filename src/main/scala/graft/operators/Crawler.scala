@@ -400,10 +400,12 @@ object Crawler {
         .select(col("host"),
           (coalesce(col("dispatched"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("dispatched"))
 
-      // ---- lineage + docs-for-indexing (S7/S9: fetch_log + doc_store)
+      // ---- lineage + docs-for-indexing (S7/S9: fetch_log + doc_store).
+      // part_id records which executor partition fetched/extracted the row
+      // (per-partition lineage; observability only — never ordering).
       val fetchLog = results.select(
         lit(round).as("round"), col("url"), col("host"), col("depth"),
-        col("seq"), col("status"),
+        col("seq"), col("status"), spark_partition_id().as("part_id"),
         when(col("status") === "failed", lit("http_404"))
           .when(col("status") === "timeout", lit("fetch_timeout"))
           .when(col("status") === "skipped_robots", lit("robots_disallowed"))
@@ -420,13 +422,27 @@ object Crawler {
         concat_ws(" ", transform(
           filter(col("spans"), s => s("text") =!= ""), s => s("text"))).as("text"))
 
+      // ---- round counters (CrawlState sizes, gcloud_master.py:686-688),
+      // computed pre-commit so they ride in the SAME atomic snapshot and
+      // /status projections (§3.3) read tables, never driver state
+      val nDispatched = dispatched.count()
+      val nFailed = results.where(col("status").isin("failed", "skipped_robots")).count() +
+        timeoutFail.count()
+      val nCompleted = results.where(col("status").isin("ok", "ok_non_html")).count()
+      frontierSize = newFrontier.count()
+      seenSize = seen.count() + addsCount // seen only ever grows by admitted
+      val rs = RoundStats(round, nDispatched, nCompleted, nFailed,
+        requeue.count(), addsCount, frontierSize, seenSize)
+      stats += rs
+
       // ---- commit round snapshot (T6): atomic manifest = round boundary
       snap.commit(spark, round,
         replaced = Map(
           "frontier" -> newFrontier, "seen" -> newSeen,
           "host_counts" -> newHostCounts, "host_sched" -> newHostSched,
           "failed" -> newFailed),
-        appended = Map("fetch_log" -> fetchLog, "doc_store" -> docStore),
+        appended = Map("fetch_log" -> fetchLog, "doc_store" -> docStore,
+          "counters" -> Seq(rs).toDS().toDF()),
         meta = Map("nextSeq" -> nextSeq.toString),
         blobs = Map("seen_sketch" -> graft.functions.SeenSketch.serialize(sketch)))
 
@@ -437,18 +453,31 @@ object Crawler {
       hostCounts = snap.loadReplaced(spark, "host_counts", round)
       hostSched = snap.loadReplaced(spark, "host_sched", round)
       failedTbl = snap.loadReplaced(spark, "failed", round)
-
-      val nDispatched = dispatched.count()
-      val nFailed = results.where(col("status").isin("failed", "skipped_robots")).count() +
-        timeoutFail.count()
-      val nCompleted = results.where(col("status").isin("ok", "ok_non_html")).count()
-      frontierSize = frontier.count()
-      seenSize = seen.count()
-      stats += RoundStats(round, nDispatched, nCompleted, nFailed,
-        requeue.count(), addsCount, frontierSize, seenSize)
       round += 1
     }
     CrawlSummary(round, stats.toSeq)
+  }
+
+  /** Status projection (§3.3, cli.py:98-124 / GET /status): the per-round
+   * counter rows from the committed snapshots — queue/completed/failed/
+   * seen sizes per round, no driver state involved. */
+  def status(spark: SparkSession, root: String): DataFrame = {
+    val snap = new SnapshotTable(root)
+    val r = snap.latestRound.getOrElse(
+      throw new IllegalStateException("no crawl state"))
+    snap.loadAppended(spark, "counters", r).orderBy("round")
+  }
+
+  /** Recent-activity tail (O3, templates/app.py:572-576): last n completed
+   * fetches in dispatch order. */
+  def recentActivity(spark: SparkSession, root: String, n: Int = 5): DataFrame = {
+    val snap = new SnapshotTable(root)
+    val r = snap.latestRound.getOrElse(
+      throw new IllegalStateException("no crawl state"))
+    snap.loadAppended(spark, "fetch_log", r)
+      .where(col("status").isin("ok", "ok_non_html"))
+      .orderBy(desc("round"), desc("seq")).limit(n)
+      .select("round", "url", "status")
   }
 
   /**

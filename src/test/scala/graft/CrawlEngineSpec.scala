@@ -91,6 +91,16 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(robotsRows.subsetOf(disallowedHosts))
     // per-domain cap holds on enqueue counts
     engineCounts.values.foreach(c => assert(c <= cfg.maxPagesPerDomain))
+    // counters table rides in the same atomic snapshots and matches the
+    // driver-side stats exactly (status projections §3.3)
+    val counterRows = Crawler.status(spark, root)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val wantCounters = summary.stats.map(s => (s.round, s.dispatched,
+      s.completed, s.failed, s.requeued, s.admitted, s.frontierSize, s.seenSize))
+    assert(counterRows.toSeq == wantCounters)
+    assert(Crawler.recentActivity(spark, root).count() == 5)
+
     // politeness: per (host, round) dispatch count within budget
     val perRound = log.groupBy("host", "round").count().collect()
     perRound.foreach { r =>
