@@ -228,7 +228,13 @@ object Crawler {
       .toDF("url", "host", "depth", "retry", "seq", "error")
 
     // ---- restore or seed (gcloud_master.py:274-318 / :533-540) ----
+    // `seen` is a HYBRID table: O(admitted) appended per round (a 10^10
+    // seen set must never be rewritten per round), with replace commits
+    // only at compactions/resets (SnapshotTable.loadHybrid).
     var sketch: graft.functions.SeenSketch = null
+    // seed URLs not yet covered by any committed seen append (first round
+    // of a fresh crawl appends them together with its admitted links)
+    var pendingSeen = emptySeen
     var (round, nextSeq, frontier, seen, hostCounts, hostSched, failedTbl) =
       snap.latestRound match {
         case Some(r) =>
@@ -236,11 +242,11 @@ object Crawler {
           sketch = snap.loadBlob("seen_sketch", r)
             .map(graft.functions.SeenSketch.deserialize)
             .getOrElse(graft.functions.SeenSketch.build(
-              snap.loadReplaced(spark, "seen", r), "url",
+              snap.loadHybrid(spark, "seen", r), "url",
               cfg.seenSketch, cfg.sketchCapacity))
           (r + 1, m("nextSeq").toLong,
             snap.loadReplaced(spark, "frontier", r),
-            snap.loadReplaced(spark, "seen", r),
+            snap.loadHybrid(spark, "seen", r),
             snap.loadReplaced(spark, "host_counts", r),
             snap.loadReplaced(spark, "host_sched", r),
             snap.loadReplaced(spark, "failed", r))
@@ -259,6 +265,7 @@ object Crawler {
           val c0 = f0.groupBy("host").agg(count(lit(1)).as("cnt"))
           sketch = graft.functions.SeenSketch.empty(cfg.seenSketch, cfg.sketchCapacity)
           s0.as[String].collect().foreach(sketch.add)
+          pendingSeen = s0
           (0, f0.count(), f0, s0, c0, emptySched, emptyFailed)
       }
 
@@ -424,32 +431,49 @@ object Crawler {
 
       // ---- round counters (CrawlState sizes, gcloud_master.py:686-688),
       // computed pre-commit so they ride in the SAME atomic snapshot and
-      // /status projections (§3.3) read tables, never driver state
-      val nDispatched = dispatched.count()
-      val nFailed = results.where(col("status").isin("failed", "skipped_robots")).count() +
-        timeoutFail.count()
-      val nCompleted = results.where(col("status").isin("ok", "ok_non_html")).count()
+      // /status projections (§3.3) read tables, never driver state.
+      // ONE aggregation job over the checkpointed results replaces five
+      // separate counts — per-round fixed driver cost is the crawl-round
+      // scaling bottleneck at sandbox scale (BENCH.md).
+      val byStatus = results.groupBy("status").agg(
+        count(lit(1)).as("n"),
+        count(when(col("retry") + 1 > cfg.maxRetries, 1)).as("n_exhausted"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      def n(s: String) = byStatus.get(s).map(_._1).getOrElse(0L)
+      val nDispatched = byStatus.values.map(_._1).sum
+      val timeoutExhausted = byStatus.get("timeout").map(_._2).getOrElse(0L)
+      val nFailed = n("failed") + n("skipped_robots") + timeoutExhausted
+      val nCompleted = n("ok") + n("ok_non_html")
+      val nRequeued = n("timeout") - timeoutExhausted
       frontierSize = newFrontier.count()
-      seenSize = seen.count() + addsCount // seen only ever grows by admitted
+      seenSize = seenSize + addsCount // seen only ever grows by admitted
       val rs = RoundStats(round, nDispatched, nCompleted, nFailed,
-        requeue.count(), addsCount, frontierSize, seenSize)
+        nRequeued, addsCount, frontierSize, seenSize)
       stats += rs
 
-      // ---- commit round snapshot (T6): atomic manifest = round boundary
+      // ---- commit round snapshot (T6): atomic manifest = round boundary.
+      // frontier: replaced, physically host-hash bucketed (the rule's
+      // `bucket(N, host_hash)` partitioned priority frontier). seen:
+      // APPEND of this round's admitted URLs only — O(adds), not O(seen).
       snap.commit(spark, round,
         replaced = Map(
-          "frontier" -> newFrontier, "seen" -> newSeen,
+          "frontier" -> newFrontier,
           "host_counts" -> newHostCounts, "host_sched" -> newHostSched,
           "failed" -> newFailed),
-        appended = Map("fetch_log" -> fetchLog, "doc_store" -> docStore,
+        appended = Map(
+          "seen" -> pendingSeen.unionByName(admitted.select("url")),
+          "fetch_log" -> fetchLog, "doc_store" -> docStore,
           "counters" -> Seq(rs).toDS().toDF()),
         meta = Map("nextSeq" -> nextSeq.toString),
-        blobs = Map("seen_sketch" -> graft.functions.SeenSketch.serialize(sketch)))
+        blobs = Map("seen_sketch" -> graft.functions.SeenSketch.serialize(sketch)),
+        bucketed = Map("frontier" ->
+          pmod(xxhash64(col("host")), lit(graft.plans.SnapshotTable.Buckets))))
+      pendingSeen = emptySeen
 
       // reload from the committed snapshot: truncates lineage and makes the
       // next round read exactly what a resume would read
       frontier = snap.loadReplaced(spark, "frontier", round)
-      seen = snap.loadReplaced(spark, "seen", round)
+      seen = snap.loadHybrid(spark, "seen", round)
       hostCounts = snap.loadReplaced(spark, "host_counts", round)
       hostSched = snap.loadReplaced(spark, "host_sched", round)
       failedTbl = snap.loadReplaced(spark, "failed", round)
@@ -506,7 +530,7 @@ object Crawler {
       throw new IllegalStateException("no crawl state to reset"))
     val nextSeq = snap.meta(r)("nextSeq").toLong
     val frontier = snap.loadReplaced(spark, "frontier", r)
-    val seen = snap.loadReplaced(spark, "seen", r)
+    val seen = snap.loadHybrid(spark, "seen", r)
     val hostCounts = snap.loadReplaced(spark, "host_counts", r)
     val hostSched = snap.loadReplaced(spark, "host_sched", r)
     val failedTbl = snap.loadReplaced(spark, "failed", r)
@@ -554,14 +578,20 @@ object Crawler {
         (frontier, shrunk, counts, n)
       }
 
+    // requeue mode leaves `seen` untouched (no commit entry — prior appends
+    // stay visible); forget mode REPLACES it with the shrunken set, which
+    // doubles as a compaction point for the hybrid append chain
     snap.commit(spark, r + 1,
       replaced = Map(
-        "frontier" -> newFrontier, "seen" -> newSeen,
+        "frontier" -> newFrontier,
         "host_counts" -> newHostCounts,
-        "host_sched" -> hostSched, "failed" -> emptyFailed),
+        "host_sched" -> hostSched, "failed" -> emptyFailed) ++
+        (if (forget) Map("seen" -> newSeen) else Map.empty),
       appended = Map.empty,
       meta = Map("nextSeq" -> (nextSeq + (if (forget) 0L else reopened)).toString),
-      blobs = Map("seen_sketch" -> graft.functions.SeenSketch.serialize(sketch)))
+      blobs = Map("seen_sketch" -> graft.functions.SeenSketch.serialize(sketch)),
+      bucketed = Map("frontier" ->
+        pmod(xxhash64(col("host")), lit(graft.plans.SnapshotTable.Buckets))))
     reopened
   }
 }

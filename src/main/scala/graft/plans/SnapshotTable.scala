@@ -32,11 +32,25 @@ class SnapshotTable(val root: String) {
              replaced: Map[String, DataFrame],
              appended: Map[String, DataFrame],
              meta: Map[String, String],
-             blobs: Map[String, Array[Byte]] = Map.empty): Unit = {
+             blobs: Map[String, Array[Byte]] = Map.empty,
+             bucketed: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit = {
     Files.createDirectories(manifestDir)
     val all = replaced ++ appended
     all.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$root/data/$name/${rid(round)}")
+      val path = s"$root/data/$name/${rid(round)}"
+      bucketed.get(name) match {
+        // physically bucket the table (Iceberg `bucket(N, …)` analog):
+        // one file per bucket dir, prunable and co-locatable. A zero-row
+        // partitioned write would leave no readable footer, so empty
+        // tables fall through to a plain (schema-carrying) write.
+        case Some(bucketExpr) if !df.isEmpty =>
+          df.withColumn("p_bucket", bucketExpr)
+            .repartition(SnapshotTable.Buckets,
+              org.apache.spark.sql.functions.col("p_bucket"))
+            .write.mode("overwrite").partitionBy("p_bucket").parquet(path)
+        case _ =>
+          df.write.mode("overwrite").parquet(path)
+      }
     }
     // binary sidecars (e.g. the serialized seen-filter shards) are written
     // BEFORE the manifest rename, so a committed round always has them
@@ -76,9 +90,42 @@ class SnapshotTable(val root: String) {
     ).map(m => m.group(1) -> m.group(2)).toMap
   }
 
+  /** table → commit kind ("replace" | "append") recorded at that round. */
+  def kinds(round: Int): Map[String, String] = {
+    val json = Files.readString(manifestDir.resolve(s"${rid(round)}.json"))
+    val seg = json.substring(json.indexOf("\"kind\""), json.indexOf("\"tables\""))
+    "\"([^\"]+)\": \"([^\"]*)\"".r.findAllMatchIn(seg)
+      .map(m => m.group(1) -> m.group(2)).toMap.removed("kind")
+  }
+
+  /**
+   * Hybrid table load (Iceberg-like): the table's state at `round` is the
+   * most recent REPLACE commit at or before it, plus every APPEND commit
+   * after that replace. Lets a monotonically-growing table (the URL-seen
+   * set) commit O(new rows) per round instead of rewriting O(table), while
+   * still supporting occasional compaction/shrink commits (reset-failures
+   * "forget" writes a replace). Rounds that do not mention the table
+   * contribute nothing.
+   */
+  def loadHybrid(spark: SparkSession, name: String, round: Int): DataFrame = {
+    val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var r = round
+    var done = false
+    while (r >= 0 && !done) {
+      val k = kinds(r).get(name)
+      if (k.isDefined) {
+        dirs += s"$root/data/$name/${rid(r)}"
+        if (k.contains("replace")) done = true
+      }
+      r -= 1
+    }
+    require(dirs.nonEmpty, s"table $name has no commits at or before round $round")
+    stripBuckets(spark.read.parquet(dirs.toSeq: _*))
+  }
+
   /** Latest version of a replaced table at the given round. */
   def loadReplaced(spark: SparkSession, name: String, round: Int): DataFrame =
-    spark.read.parquet(s"$root/data/$name/${rid(round)}")
+    stripBuckets(spark.read.parquet(s"$root/data/$name/${rid(round)}"))
 
   /** Binary sidecar committed with the round, if any. */
   def loadBlob(name: String, round: Int): Option[Array[Byte]] = {
@@ -90,6 +137,14 @@ class SnapshotTable(val root: String) {
   def loadAppended(spark: SparkSession, name: String, round: Int): DataFrame = {
     val dirs = (0 to round).map(r => s"$root/data/$name/${rid(r)}")
       .filter(d => Files.isDirectory(Paths.get(d)))
-    spark.read.parquet(dirs: _*)
+    stripBuckets(spark.read.parquet(dirs: _*))
   }
+
+  private def stripBuckets(df: DataFrame): DataFrame =
+    if (df.columns.contains("p_bucket")) df.drop("p_bucket") else df
+}
+
+object SnapshotTable {
+  /** Physical bucket fan-out for bucketed tables. */
+  val Buckets = 32
 }

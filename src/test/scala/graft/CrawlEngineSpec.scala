@@ -48,7 +48,7 @@ class CrawlEngineSpec extends AnyFunSuite {
 
   def engineSeen(root: String, lastRound: Int): Set[String] = {
     val snap = new SnapshotTable(root)
-    snap.loadReplaced(spark, "seen", lastRound)
+    snap.loadHybrid(spark, "seen", lastRound)
       .collect().map(_.getString(0)).toSet
   }
 

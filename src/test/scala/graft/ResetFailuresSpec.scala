@@ -98,14 +98,14 @@ class ResetFailuresSpec extends AnyFunSuite {
     val snap = new SnapshotTable(root)
     val failed0 = failedUrls(root)
     assert(failed0.nonEmpty, "need terminal failures in the first 3 rounds")
-    val seenBefore = snap.loadReplaced(spark, "seen", snap.latestRound.get)
+    val seenBefore = snap.loadHybrid(spark, "seen", snap.latestRound.get)
       .collect().map(_.getString(0)).toSet
     assert(failed0.subsetOf(seenBefore))
 
     val reopened = Crawler.resetFailures(spark, root, c, forget = true)
     assert(reopened == failed0.size)
     val rAfter = snap.latestRound.get
-    val seenAfter = snap.loadReplaced(spark, "seen", rAfter)
+    val seenAfter = snap.loadHybrid(spark, "seen", rAfter)
       .collect().map(_.getString(0)).toSet
     assert(seenAfter == seenBefore -- failed0)
     // the checkpointed cuckoo sketch no longer claims the forgotten URLs
@@ -121,7 +121,7 @@ class ResetFailuresSpec extends AnyFunSuite {
     // forgotten URL passes the full gate (sketch prefilter + exact seen
     // anti-join + domain + cap) — the deletable-seen semantics in one step
     val hostCounts = snap.loadReplaced(spark, "host_counts", rAfter)
-    val seenDf = snap.loadReplaced(spark, "seen", rAfter)
+    val seenDf = snap.loadHybrid(spark, "seen", rAfter)
     import spark.implicits._
     val reproposed = failed0.toSeq.sorted.zipWithIndex.toDF("url", "idx")
       .select(col("url"), graft.functions.gf.url_policy_host(col("url")).as("host"),
