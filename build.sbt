@@ -23,13 +23,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap scales to the machine: min(32g, half of physical RAM).
+// SPARK_DRIVER_MEM/SPARK_DRIVER_YOUNG override (the bench harness sets
+// them); a fixed 32g default would get the JVM OOM-killed on small hosts.
+val defaultHeapGb: Int = {
+  val physGb = try {
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    (os.getTotalMemorySize / (1L << 30)).toInt
+  } catch { case _: Throwable => 16 }
+  math.max(2, math.min(32, physGb / 2))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
   // batch-throughput GC: the engine's hot paths (span parse, URL
   // canonicalize, shuffle rows) are allocation-heavy; parallel scavenge
   // with a large young gen beats G1 pause-targeting for this profile
   "-XX:+UseParallelGC",
-  s"-Xmn${sys.env.getOrElse("SPARK_DRIVER_YOUNG", "12g")}",
+  s"-Xmn${sys.env.getOrElse("SPARK_DRIVER_YOUNG", s"${math.max(1, defaultHeapGb * 3 / 8)}g")}",
 )

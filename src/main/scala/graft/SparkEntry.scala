@@ -34,13 +34,12 @@ object SparkEntry {
     val cfg = CrawlConfig(maxDepth = 2, maxPagesPerDomain = 20,
       respectRobots = true, roundSeconds = 30.0)
     val root = java.nio.file.Files.createTempDirectory("graft-entry").toString
-    val summary = Crawler.run(spark, CorpusGen.docs(spark, nDocs),
+    Crawler.run(spark, CorpusGen.docs(spark, nDocs),
       CorpusGen.seeds(nDocs, 3),
       CorpusGen.policies(nDocs, cfg.defaultCrawlDelayS, cfg.maxPagesPerDomain).toDS(),
       cfg, root, maxRounds = 8)
-    val snap = new graft.plans.SnapshotTable(root)
-    val docStore = snap.loadAppended(spark, "doc_store", summary.rounds - 1)
-    SearchIndex.search(SearchIndex.postings(docStore), "spark crawl frontier", "content", 10)
+    // search the PERSISTED incremental postings table (T8) — no recompute
+    Crawler.searchStore(spark, root, "spark crawl frontier", "content", 10)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -137,6 +136,97 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // T8/S9 inverted-index build as a value-checked query: postings with
+    // title weight 2.0 / body 1.0, title-wins per (term, doc)
+    // (gcloud_indexer.py:56-62) over a first-5-token pseudo-title
+    "q_postings" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), gf.tokenize(col("text")).as("ts"))
+        .withColumn("title_ts", slice(col("ts"), 1, 5))
+      val title = d.select(explode(col("title_ts")).as("term"),
+        col("doc_id"), lit(2.0).as("weight"))
+      val body = d.select(explode(col("ts")).as("term"),
+        col("doc_id"), lit(1.0).as("weight"))
+      title.unionByName(body)
+        .groupBy("term", "doc_id").agg(max("weight").as("weight"))
+    }),
+
+    // J2 title-field search: postings whose term is in the title token set
+    // only (gcloud_indexer.py:83-84), weighted sum, top-10
+    "q_search_title" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), gf.tokenize(col("text")).as("ts"))
+        .withColumn("title_ts", slice(col("ts"), 1, 5))
+      val terms = Seq("spark", "data", "query").toDF("term")
+      d.crossJoin(broadcast(terms))
+        .where(array_contains(col("title_ts"), col("term")))
+        .groupBy("doc_id").agg(sum(lit(2.0)).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+    }),
+
+    // J2 url-field search: 1.0 per query term that is a substring of the
+    // url, over ALL indexed urls (gcloud_indexer.py:76-81)
+    "q_search_url" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(concat(lit("https://"), col("source"),
+          lit(".example.test/d/"), col("doc_id")).as("url"))
+      val terms = Seq("src1", "d/4", "example").toDF("term")
+      d.crossJoin(broadcast(terms))
+        .where(col("url").contains(col("term")))
+        .groupBy("url").agg(sum(lit(1.0)).as("score"))
+        .orderBy(desc("score"), asc("url"))
+        .limit(10)
+    }),
+
+    // F2 domain validation (cli.py:18-21): the reference's domain regex
+    // over synthesized well- and mal-formed candidates
+    "q_domain_valid" -> ((s, dir) => {
+      val ev = s.read.parquet(t(dir, "events"))
+        .select(col("event_id"), col("user_id"), (col("event_id") % 5).as("form"))
+        .withColumn("domain",
+          when(col("form") === 0, concat(lit("h-"), col("user_id"), lit(".example.test")))
+            .when(col("form") === 1, lit("bad_domain"))
+            .when(col("form") === 2, lit("x.t"))
+            .when(col("form") === 3, lit("-bad.example.test"))
+            .otherwise(concat(lit("sub.domain-"), col("user_id"), lit(".co"))))
+      ev.select(col("event_id"), col("domain"),
+        col("domain").rlike(graft.functions.UrlKit.DomainRegex).as("valid"))
+    }),
+
+    // S13 full form: parse timestamps out of raw log lines in the
+    // reference's two formats, filter ts > since, tail 200
+    // (templates/app.py:1070-1140)
+    "q_log_parse" -> ((s, dir) => {
+      val lines = s.read.parquet(t(dir, "events"))
+        .select(col("event_id"), col("ts"), (col("event_id") % 3).as("form"))
+        .select(when(col("form") === 0,
+          concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+            lit(",123 - Master - INFO - evt "), col("event_id")))
+          .when(col("form") === 1,
+            concat(lit("["), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+              lit("] crawler msg "), col("event_id")))
+          .otherwise(concat(lit("no timestamp line "), col("event_id"))).as("line"))
+      operators.LogParse.parse(lines, "line", sinceEpoch = 1705276800L, limit = 200)
+    }),
+
+    // C10 full form: 429 backoff with deterministic jitter in [1, 5)
+    // (gcloud_crawler.py:364-367; the reference's random.uniform(1,5) is
+    // replaced by a seeded integer-hash uniform so runs are reproducible)
+    "q_backoff_429" -> ((s, dir) => {
+      s.read.parquet(t(dir, "events"))
+        .select(col("event_id"), (col("event_id") % 4).as("retry"),
+          (col("event_id") % 100 < 7).as("is_429"))
+        .withColumn("delay_s",
+          lit(2.0) * pow(lit(2.0), col("retry")) +
+            when(col("is_429"),
+              lit(1.0) + lit(4.0) *
+                ((col("event_id") * 2654435761L) % 1000).cast("double") / lit(1000.0))
+              .otherwise(lit(0.0)))
+    }),
+
     // C8 snippet: first 200 chars + '...' (gcloud_indexer.py:340)
     "q_snippet" -> ((s, dir) => {
       s.read.parquet(t(dir, "documents"))
@@ -208,10 +298,20 @@ object SparkEntry {
         maxHamming = 6, tables = 8)
     }),
 
-    // embedding near-dup pairs: LSH bucket + exact cosine ≥ 0.95
+    // embedding near-dup pairs: LSH bucket + exact cosine ≥ 0.95. The raw
+    // fixture has no near-dups (max pair cos ≈ 0.6), which would make the
+    // oracle row vacuous (0 == 0) — so the query deterministically injects
+    // scaled copies (vec_id + 1e6, embedding × 2) of the first 20 vectors.
+    // A scaled copy has the SAME random-hyperplane signs as its source, so
+    // the single-table LSH bucket join finds every injected pair with
+    // probability 1 (not just high probability), keeping the result exact.
     "q_embedding_dupes" -> ((s, dir) => {
+      val emb = s.read.parquet(t(dir, "embeddings")).select("vec_id", "embedding")
+      val copies = emb.where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
       operators.Dedup.embeddingDupes(
-        s.read.parquet(t(dir, "embeddings")), "vec_id", "embedding",
+        emb.unionByName(copies), "vec_id", "embedding",
         threshold = 0.95, bits = 8)
         .withColumn("cos", round(col("cos"), 6))
     }),
@@ -461,6 +561,92 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(w) AS DOUBLE) AS score FROM hits
         |WHERE w IS NOT NULL GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q_postings" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        |                             x -> x != '') AS ts
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, ts, ts[1:5] AS title_ts FROM toks
+        |), p AS (
+        |  SELECT doc_id, unnest(title_ts) AS term, 2.0 AS w FROM d
+        |  UNION ALL
+        |  SELECT doc_id, unnest(ts) AS term, 1.0 AS w FROM d
+        |)
+        |SELECT term, doc_id, CAST(MAX(w) AS DOUBLE) AS weight
+        |FROM p GROUP BY term, doc_id""".stripMargin,
+    "q_search_title" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        |                             x -> x != '') AS ts
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, ts[1:5] AS title_ts FROM toks
+        |), terms(term) AS (VALUES ('spark'), ('data'), ('query'))
+        |SELECT doc_id, CAST(SUM(2.0) AS DOUBLE) AS score
+        |FROM d CROSS JOIN terms t
+        |WHERE list_contains(d.title_ts, t.term)
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q_search_url" ->
+      """WITH d AS (
+        |  SELECT 'https://' || source || '.example.test/d/' || doc_id AS url
+        |  FROM documents
+        |), terms(term) AS (VALUES ('src1'), ('d/4'), ('example'))
+        |SELECT url, CAST(SUM(1.0) AS DOUBLE) AS score
+        |FROM d CROSS JOIN terms t
+        |WHERE contains(url, term)
+        |GROUP BY url ORDER BY score DESC, url LIMIT 10""".stripMargin,
+    "q_domain_valid" ->
+      """SELECT event_id,
+        |  CASE
+        |    WHEN event_id % 5 = 0 THEN 'h-' || user_id || '.example.test'
+        |    WHEN event_id % 5 = 1 THEN 'bad_domain'
+        |    WHEN event_id % 5 = 2 THEN 'x.t'
+        |    WHEN event_id % 5 = 3 THEN '-bad.example.test'
+        |    ELSE 'sub.domain-' || user_id || '.co'
+        |  END AS domain,
+        |  regexp_matches(
+        |    CASE
+        |      WHEN event_id % 5 = 0 THEN 'h-' || user_id || '.example.test'
+        |      WHEN event_id % 5 = 1 THEN 'bad_domain'
+        |      WHEN event_id % 5 = 2 THEN 'x.t'
+        |      WHEN event_id % 5 = 3 THEN '-bad.example.test'
+        |      ELSE 'sub.domain-' || user_id || '.co'
+        |    END,
+        |    '^([a-zA-Z0-9]([a-zA-Z0-9\-]{0,61}[a-zA-Z0-9])?\.)+[a-zA-Z]{2,}$') AS valid
+        |FROM events""".stripMargin,
+    "q_log_parse" ->
+      """WITH lines AS (
+        |  SELECT CASE
+        |    WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |      || ',123 - Master - INFO - evt ' || event_id
+        |    WHEN event_id % 3 = 1 THEN '[' || strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |      || '] crawler msg ' || event_id
+        |    ELSE 'no timestamp line ' || event_id
+        |  END AS line
+        |  FROM events
+        |), parsed AS (
+        |  SELECT line,
+        |    CASE
+        |      WHEN regexp_extract(line, '(\d{4}-\d{2}-\d{2}\s+\d{2}:\d{2}:\d{2})', 1) != ''
+        |        THEN regexp_extract(line, '(\d{4}-\d{2}-\d{2}\s+\d{2}:\d{2}:\d{2})', 1)
+        |      WHEN regexp_extract(line, '\[([\d-]+\s+[\d:]+)\]', 1) != ''
+        |        THEN regexp_extract(line, '\[([\d-]+\s+[\d:]+)\]', 1)
+        |    END AS ts_str
+        |  FROM lines
+        |)
+        |SELECT CAST(epoch(strptime(ts_str, '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS epoch, line
+        |FROM parsed
+        |WHERE ts_str IS NOT NULL
+        |  AND CAST(epoch(strptime(ts_str, '%Y-%m-%d %H:%M:%S')) AS BIGINT) > 1705276800
+        |ORDER BY epoch DESC, line DESC LIMIT 200""".stripMargin,
+    "q_backoff_429" ->
+      """SELECT event_id, event_id % 4 AS retry, (event_id % 100 < 7) AS is_429,
+        |  CAST(2.0 AS DOUBLE) * pow(CAST(2.0 AS DOUBLE), event_id % 4) +
+        |  CASE WHEN event_id % 100 < 7
+        |    THEN 1.0 + 4.0 * CAST((event_id * 2654435761) % 1000 AS DOUBLE) / 1000.0
+        |    ELSE 0.0 END AS delay_s
+        |FROM events""".stripMargin,
     "q_snippet" ->
       "SELECT doc_id, substr(text, 1, 200) || '...' AS snippet FROM documents",
     "q_snippet_centered" ->
@@ -480,9 +666,15 @@ object SparkEntry {
     // threshold, so its oracle is the same brute-force pair set
     "q_dedup_minhash" -> jaccardPairsSqlFor(""),
     "q_embedding_dupes" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      """WITH all_v AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(embedding, x -> x * 2.0::FLOAT)
+        |  FROM embeddings WHERE vec_id < 20
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95""".stripMargin,
     "q_ann_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 3),

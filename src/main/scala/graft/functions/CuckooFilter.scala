@@ -95,20 +95,22 @@ final class CuckooFilter private (val numBuckets: Int, private val slots: Array[
       if (tryPlace(b, fp)) { count += 1; return true }
       attempt += 1
     }
-    // undo is impossible cheaply; mark saturated by restoring nothing —
-    // the displaced chain still holds every fingerprint except `fp`,
-    // which we re-place in the victim slot we last freed… simplest safe
-    // variant: put the orphan back where the chain started is not
-    // possible, so report failure with the orphan re-inserted by swap:
-    // we swap the orphan back into the last bucket's slot 0 only if empty.
-    if (tryPlace(b, fp)) { count += 1; true } else { orphan = fp; orphanBucket = b; false }
+    // the exhausted kick chain leaves exactly one homeless fingerprint;
+    // buffering it (with the bucket it was last evicted from — always one
+    // of its two legal homes, the XOR pairing keeps that invariant along
+    // the chain) preserves the no-false-negative contract for ANY number
+    // of failed inserts until the caller rebuilds.
+    orphanList += ((b, fp))
+    count += 1
+    false
   }
 
-  // a failed kick chain leaves one orphan fingerprint; holding it here
-  // preserves the no-false-negative contract for mightContain until the
-  // caller rebuilds (Crawler rebuilds immediately on a false return).
-  private var orphan: Int = 0
-  private var orphanBucket: Int = -1
+  // failed kick chains park their homeless fingerprints here; probed by
+  // mightContain/delete and folded by mergeInPlace, so the filter NEVER
+  // false-negatives an inserted key even past saturation. Non-empty ⇒
+  // saturated (callers should rebuild bigger; Crawler does).
+  private val orphanList = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+  def hasOrphans: Boolean = orphanList.nonEmpty
 
   def insert(key: String): Boolean = {
     val fp = fingerprintOf(key)
@@ -124,8 +126,15 @@ final class CuckooFilter private (val numBuckets: Int, private val slots: Array[
   def mightContain(key: String): Boolean = {
     val fp = fingerprintOf(key)
     val i1 = bucketOf(key)
-    bucketHas(i1, fp) || bucketHas(altBucket(i1, fp), fp) ||
-      (fp == orphan && (i1 == orphanBucket || altBucket(i1, fp) == orphanBucket))
+    bucketHas(i1, fp) || bucketHas(altBucket(i1, fp), fp) || {
+      // orphan bucket is always one of the fingerprint's two legal homes
+      // (the XOR pairing is closed under kicking), so equality against the
+      // key's own pair {i1, alt} is exact
+      orphanList.nonEmpty && {
+        val i2 = altBucket(i1, fp)
+        orphanList.exists { case (ob, ofp) => ofp == fp && (ob == i1 || ob == i2) }
+      }
+    }
   }
 
   /** Remove one copy of the key's fingerprint. Returns false if absent.
@@ -134,13 +143,20 @@ final class CuckooFilter private (val numBuckets: Int, private val slots: Array[
   def delete(key: String): Boolean = {
     val fp = fingerprintOf(key)
     val i1 = bucketOf(key)
-    val ok = removeFrom(i1, fp) || removeFrom(altBucket(i1, fp), fp)
+    val ok = removeFrom(i1, fp) || removeFrom(altBucket(i1, fp), fp) || {
+      val i2 = altBucket(i1, fp)
+      val idx = orphanList.indexWhere { case (ob, ofp) => ofp == fp && (ob == i1 || ob == i2) }
+      if (idx >= 0) { orphanList.remove(idx); true } else false
+    }
     if (ok) count -= 1
     ok
   }
 
-  /** Fold another same-sized filter's fingerprints into this one (shard
-   * merge: per-partition shards → one broadcastable filter). */
+  /** Fold another same-sized filter's fingerprints (orphans included) into
+   * this one (shard merge: per-partition shards → one broadcastable
+   * filter). Overflow during the fold parks fingerprints on the orphan
+   * list, so the merged filter still never false-negatives; it just
+   * reports saturation via the return / hasOrphans. */
   def mergeInPlace(other: CuckooFilter): Boolean = {
     require(other.numBuckets == numBuckets, "cuckoo shards must be same-sized")
     var b = 0
@@ -154,6 +170,7 @@ final class CuckooFilter private (val numBuckets: Int, private val slots: Array[
       }
       b += 1
     }
+    other.orphanList.foreach { case (ob, ofp) => ok &= insertFingerprint(ob, ofp) }
     ok
   }
 
@@ -163,8 +180,8 @@ final class CuckooFilter private (val numBuckets: Int, private val slots: Array[
     out.writeInt(Magic)
     out.writeInt(numBuckets)
     out.writeLong(count)
-    out.writeInt(orphan)
-    out.writeInt(orphanBucket)
+    out.writeInt(orphanList.size)
+    orphanList.foreach { case (b, fp) => out.writeInt(b); out.writeInt(fp) }
     slots.foreach(out.writeShort(_))
     out.flush()
     bos.toByteArray
@@ -174,15 +191,30 @@ final class CuckooFilter private (val numBuckets: Int, private val slots: Array[
 object CuckooFilter {
   val SlotsPerBucket = 4
   val MaxKicks = 500
-  private val Magic = 0x43554B46 // "CUKF"
+  private val Magic = 0x43554B32 // "CUK2" (v2: orphan list)
+
+  /** Hard bucket ceiling: 2^28 buckets × 4 slots = 2^30 slots (the largest
+   * power-of-two Short array that still leaves Int indexing headroom),
+   * ≈ 901 M keys at the 0.84 design load. Beyond that a single-JVM
+   * broadcast filter is the wrong tool anyway — shard the key space. */
+  val MaxBuckets: Long = 1L << 28
 
   /** Smallest power-of-two bucket count whose 0.84-load capacity ≥ n. */
   def create(expectedInsertions: Long): CuckooFilter = {
     val needed = math.max(64L, (expectedInsertions * 100L) / (84L * SlotsPerBucket) + 1)
     var buckets = java.lang.Long.highestOneBit(needed)
     if (buckets < needed) buckets <<= 1
-    require(buckets <= (1L << 30), s"cuckoo filter too large: $expectedInsertions keys")
+    require(buckets <= MaxBuckets,
+      s"cuckoo filter too large: $expectedInsertions keys (ceiling ≈ 901M — shard instead)")
     new CuckooFilter(buckets.toInt, new Array[Short](buckets.toInt * SlotsPerBucket))
+  }
+
+  /** Exact-layout twin of an existing filter — delta shards built with this
+   * are mergeInPlace-compatible with it. */
+  def createWithBuckets(numBuckets: Int): CuckooFilter = {
+    require(numBuckets > 0 && (numBuckets & (numBuckets - 1)) == 0 &&
+      numBuckets <= MaxBuckets, s"bad bucket count $numBuckets")
+    new CuckooFilter(numBuckets, new Array[Short](numBuckets * SlotsPerBucket))
   }
 
   def deserialize(bytes: Array[Byte]): CuckooFilter = {
@@ -190,15 +222,14 @@ object CuckooFilter {
     require(in.readInt() == Magic, "not a serialized cuckoo filter")
     val numBuckets = in.readInt()
     val count = in.readLong()
-    val orphan = in.readInt()
-    val orphanBucket = in.readInt()
+    val nOrphans = in.readInt()
+    val orphans = (0 until nOrphans).map(_ => (in.readInt(), in.readInt()))
     val slots = new Array[Short](numBuckets * SlotsPerBucket)
     var i = 0
     while (i < slots.length) { slots(i) = in.readShort(); i += 1 }
     val f = new CuckooFilter(numBuckets, slots)
     f.count = count
-    f.orphan = orphan
-    f.orphanBucket = orphanBucket
+    f.orphanList ++= orphans
     f
   }
 }

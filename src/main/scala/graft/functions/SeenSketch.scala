@@ -10,15 +10,18 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
  * candidate→seen anti-join skip sketch-negative candidates entirely.
  * Sketch-positive candidates are ALWAYS exactly re-checked against the
  * seen table, so false positives can never drop URLs; false negatives
- * must never occur (both impls guarantee it).
+ * must never occur (both impls guarantee it — a SATURATED sketch keeps
+ * answering correctly, it just stops being allowed to serve as the
+ * admission prefilter until rebuilt: Crawler checks `saturated` before
+ * engaging it and rebuilds at growing capacity until healthy).
  *
- * Maintained INCREMENTALLY: each round adds only that round's admitted
- * URLs — O(adds), never an O(seen) rebuild — and the serialized sketch is
- * checkpointed with the round snapshot ("seen-filter shards" in
- * BASELINE.json:north_star), so a resume reloads it instead of rebuilding.
- * When a sketch saturates (Bloom past its sized capacity / cuckoo insert
- * failure) the crawler rebuilds at 4× from the seen table — amortized
- * O(seen) over the whole crawl, like a growable array.
+ * Maintained INCREMENTALLY and DISTRIBUTED: each round builds a compatible
+ * delta sketch from that round's admitted URLs as per-partition shards
+ * (executor-side), merges the shards into the running sketch on the driver
+ * ([[SeenSketch.addAll]]) — O(adds) work spread over the cluster, never a
+ * driver-side per-row loop — and checkpoints the serialized sketch with the
+ * round snapshot ("seen-filter shards" in BASELINE.json:north_star), so a
+ * resume reloads it instead of rebuilding.
  *
  *  - [[BloomSeen]]: default; smallest per-key footprint.
  *  - [[CuckooSeen]]: deletable (reset-failures "forget" flow, SURVEY §2.3
@@ -30,6 +33,8 @@ sealed trait SeenSketch extends Serializable {
   def add(url: String): Boolean
   /** Remove a previously-added URL; false if unsupported (Bloom). */
   def delete(url: String): Boolean
+  /** Fold a same-shape delta sketch into this one. Returns !saturated. */
+  def merge(other: SeenSketch): Boolean
   def cardinality: Long
   def capacity: Long
   def saturated: Boolean = cardinality >= capacity
@@ -42,6 +47,13 @@ final class BloomSeen(val filter: BloomFilter, val capacity: Long,
   def mightContain(url: String): Boolean = filter.mightContainString(url)
   def add(url: String): Boolean = { filter.putString(url); count += 1; count <= capacity }
   def delete(url: String): Boolean = false
+  def merge(other: SeenSketch): Boolean = other match {
+    case b: BloomSeen =>
+      filter.mergeInPlace(b.filter) // throws on shape mismatch — addAll builds compatible deltas
+      count += b.cardinality
+      !saturated
+    case _ => throw new IllegalArgumentException("cannot merge cuckoo into bloom")
+  }
   def cardinality: Long = count
   def kind: String = "bloom"
   def serialize: Array[Byte] = {
@@ -60,9 +72,15 @@ final class CuckooSeen(val filter: CuckooFilter) extends SeenSketch {
   def mightContain(url: String): Boolean = filter.mightContain(url)
   def add(url: String): Boolean = { ok &= filter.insert(url); ok }
   def delete(url: String): Boolean = filter.delete(url)
+  def merge(other: SeenSketch): Boolean = other match {
+    case c: CuckooSeen =>
+      ok &= filter.mergeInPlace(c.filter) && !c.saturated
+      ok
+    case _ => throw new IllegalArgumentException("cannot merge bloom into cuckoo")
+  }
   def cardinality: Long = filter.cardinality
   def capacity: Long = filter.capacity
-  override def saturated: Boolean = !ok || super.saturated
+  override def saturated: Boolean = !ok || filter.hasOrphans || super.saturated
   private[functions] def markSaturated(): Unit = ok = false
   def kind: String = "cuckoo"
   def serialize: Array[Byte] = filter.serialize
@@ -75,54 +93,83 @@ object SeenSketch {
     case _ => new BloomSeen(BloomFilter.create(capacity, 0.01), capacity, 0L)
   }
 
-  /** kind byte + payload, so a snapshot blob self-describes. */
+  /** kind byte + saturation byte + payload, so a snapshot blob
+   * self-describes AND a saturated sketch stays saturated across a
+   * serialize/deserialize round-trip (a reloaded saturated sketch must not
+   * be re-trusted as an admission prefilter). */
   def serialize(s: SeenSketch): Array[Byte] = {
     val payload = s.serialize
-    val out = new Array[Byte](payload.length + 1)
+    val out = new Array[Byte](payload.length + 2)
     out(0) = if (s.kind == "cuckoo") 1 else 0
-    System.arraycopy(payload, 0, out, 1, payload.length)
+    out(1) = if (s.saturated) 1 else 0
+    System.arraycopy(payload, 0, out, 2, payload.length)
     out
   }
 
   def deserialize(bytes: Array[Byte]): SeenSketch = {
-    val payload = java.util.Arrays.copyOfRange(bytes, 1, bytes.length)
-    if (bytes(0) == 1) new CuckooSeen(CuckooFilter.deserialize(payload))
-    else {
+    val payload = java.util.Arrays.copyOfRange(bytes, 2, bytes.length)
+    val sat = bytes(1) == 1
+    if (bytes(0) == 1) {
+      val c = new CuckooSeen(CuckooFilter.deserialize(payload))
+      if (sat) c.markSaturated()
+      c
+    } else {
       val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
       val capacity = in.readLong()
       val count = in.readLong()
+      // bloom saturation is count-derived, so the flag needs no extra state
       new BloomSeen(BloomFilter.readFrom(in), capacity, count)
     }
   }
 
   /** Distributed full (re)build from a one-string-column DataFrame:
-   * per-partition shards, merged on the driver, ready to broadcast
-   * (the north rule's "broadcast-merged" pattern). Bloom shards merge via
-   * mergeInPlace; cuckoo shards fold fingerprints bucket-wise. */
+   * per-partition shards built executor-side, merged on the driver, ready
+   * to broadcast (the north rule's "broadcast-merged" pattern). Bloom
+   * shards merge via mergeInPlace; cuckoo shards fold fingerprints
+   * bucket-wise (orphans preserved, so an overflowed shard never drops
+   * keys — the merged sketch just reports saturated). */
   def build(urls: DataFrame, column: String, kind: String, capacity: Long): SeenSketch = {
-    val spark = urls.sparkSession
-    import spark.implicits._
-    val ds = urls.select(column).as[String]
     kind match {
       case "cuckoo" =>
-        val shards = ds.mapPartitions { it =>
-          val f = CuckooFilter.create(capacity)
-          var full = true
-          it.foreach(u => full &= f.insert(u))
-          if (full) Iterator.single(f.serialize) else Iterator.single(Array.empty[Byte])
-        }.collect()
-        val merged = CuckooFilter.create(capacity)
-        var ok = true
-        shards.foreach { b =>
-          if (b.isEmpty) ok = false
-          else ok &= merged.mergeInPlace(CuckooFilter.deserialize(b))
-        }
-        val out = new CuckooSeen(merged)
-        if (!ok) out.markSaturated() // caller rebuilds bigger
+        val out = new CuckooSeen(CuckooFilter.create(capacity))
+        mergeCuckooShards(out, urls, column)
         out
       case _ =>
         val bf = urls.stat.bloomFilter(column, capacity, 0.01)
         new BloomSeen(bf, capacity, urls.count())
     }
+  }
+
+  /** Incremental distributed add (the per-round hot path): build a delta
+   * sketch from `urls` with the SAME shape as `sketch` — per-partition
+   * shards on the executors — and fold it into `sketch` on the driver.
+   * O(count) total work, parallel across the cluster; the driver touches
+   * only fixed-size shard blobs, never rows. `count` is the (already
+   * known) row count, so no extra counting job runs. Returns !saturated. */
+  def addAll(sketch: SeenSketch, urls: DataFrame, column: String, count: Long): Boolean =
+    sketch match {
+      case b: BloomSeen =>
+        // spark's stat.bloomFilter is itself a treeAggregate shard build;
+        // same (expectedNumItems, fpp) ⇒ mergeInPlace-compatible layout
+        val delta = urls.stat.bloomFilter(column, b.capacity, 0.01)
+        b.merge(new BloomSeen(delta, b.capacity, count))
+      case c: CuckooSeen =>
+        mergeCuckooShards(c, urls, column)
+        !c.saturated
+    }
+
+  /** Shard-build cuckoo filters per partition (layout-compatible with
+   * `into`) and fold them into `into` on the driver. */
+  private def mergeCuckooShards(into: CuckooSeen, urls: DataFrame, column: String): Unit = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val nb = into.filter.numBuckets
+    val shards = urls.select(column).as[String].mapPartitions { it =>
+      val f = CuckooFilter.createWithBuckets(nb)
+      it.foreach(f.insert)
+      // empty shards carry no information — skip the blob
+      if (f.cardinality > 0) Iterator.single(f.serialize) else Iterator.empty
+    }.collect()
+    shards.foreach(b => into.merge(new CuckooSeen(CuckooFilter.deserialize(b))))
   }
 }

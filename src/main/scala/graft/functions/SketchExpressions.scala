@@ -95,6 +95,25 @@ object SketchCodegen {
     while (i < n) { out(i) = hash64(tokens.getUTF8String(i)); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Exact Jaccard of two DISTINCT-element long arrays (hashed shingle
+   * sets): sort-merge intersection count, no per-element boxing or hash
+   * set — the candidate-verification hot loop of MinHash LSH. */
+  def jaccardLong(a: ArrayData, b: ArrayData): Double = {
+    val la = a.toLongArray()
+    val lb = b.toLongArray()
+    java.util.Arrays.sort(la)
+    java.util.Arrays.sort(lb)
+    var i = 0; var j = 0; var inter = 0
+    while (i < la.length && j < lb.length) {
+      val x = la(i); val y = lb(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = la.length + lb.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
 }
 
 /** minhash_sig(shingle_hashes: array<long>, k) → array<long>[k] */
@@ -130,6 +149,18 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "rolling_hash64"
 }
 
+/** jaccard_long(a: array<long>, b: array<long>) → double (exact set Jaccard) */
+case class JaccardLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SketchCodegen.jaccardLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SketchCodegen.jaccardLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardLong =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_long"
+}
+
 /** hash64_array(tokens: array<string>) → array<long> (stable content hash) */
 case class Hash64Array(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -141,7 +172,33 @@ case class Hash64Array(child: Expression) extends UnaryExpression {
   override def prettyName: String = "hash64_array"
 }
 
+/**
+ * sketch_contains(url) → boolean: probe a broadcast [[SeenSketch]] from
+ * inside whole-stage codegen — the admission hot path's prefilter
+ * (SURVEY §2.3 D1). A native expression, not a UDF: no row-at-a-time
+ * encoder boundary, and the broadcast is materialized once per task via
+ * the references array (same pattern as Spark's own
+ * BloomFilterMightContain).
+ */
+case class SketchContains(child: Expression,
+                          bc: org.apache.spark.broadcast.Broadcast[SeenSketch])
+    extends UnaryExpression with Predicate {
+  override protected def nullSafeEval(u: Any): Any =
+    bc.value.mightContain(u.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("seenSketchBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, u =>
+      s"((graft.functions.SeenSketch)$bcRef.value()).mightContain($u.toString())")
+  }
+  override protected def withNewChildInternal(c: Expression): SketchContains = copy(child = c)
+  override def prettyName: String = "sketch_contains"
+}
+
 object sketch {
+  def sketch_contains(url: Column,
+                      bc: org.apache.spark.broadcast.Broadcast[SeenSketch]): Column =
+    GraftShim.column(SketchContains(GraftShim.expression(url), bc))
   def minhash_sig(shingleHashes: Column, k: Int): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(shingleHashes), k))
   def simhash64(tokens: Column): Column =
@@ -150,4 +207,6 @@ object sketch {
     GraftShim.column(Hash64Array(GraftShim.expression(tokens)))
   def rolling_hash64(tokens: Column): Column =
     GraftShim.column(RollingHash64(GraftShim.expression(tokens)))
+  def jaccard_long(a: Column, b: Column): Column =
+    GraftShim.column(JaccardLong(GraftShim.expression(a), GraftShim.expression(b)))
 }

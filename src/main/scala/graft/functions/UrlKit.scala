@@ -24,6 +24,19 @@ object UrlKit extends Serializable {
 
   @inline def hasScheme(s: String): Boolean = SchemeRe.findFirstIn(s).isDefined
 
+  /** Domain-shape validation regex (F2, cli.py:18-21): dot-separated
+   * labels of alphanumerics/hyphens (no leading/trailing hyphen, ≤ 63
+   * chars each) ending in an alphabetic TLD of ≥ 2 chars. */
+  val DomainRegex = "^([a-zA-Z0-9]([a-zA-Z0-9\\-]{0,61}[a-zA-Z0-9])?\\.)+[a-zA-Z]{2,}$"
+  private val DomainPattern = java.util.regex.Pattern.compile(DomainRegex)
+
+  def isValidDomain(s: String): Boolean =
+    s != null && DomainPattern.matcher(s).matches()
+
+  /** validate_url (cli.py:23-29): scheme and netloc both present. */
+  def isValidUrl(url: String): Boolean =
+    url != null && hasScheme(url) && host(url).nonEmpty
+
   def isHttp(url: String): Boolean = {
     val u = url
     u.startsWith("http://") || u.startsWith("https://")

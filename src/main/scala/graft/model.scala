@@ -86,7 +86,13 @@ case class CrawlConfig(
      * required for the reset-failures "forget" flow, SURVEY §2.3 D4/U4). */
     seenSketch: String = "bloom",
     /** initial sketch capacity; the crawler rebuilds at 4x on saturation. */
-    sketchCapacity: Long = 1L << 20) {
+    sketchCapacity: Long = 1L << 20,
+    /** dispatched-set size up to which the fetch join broadcasts; past it
+     * the round switches to bloom-pruned scan + shuffle-hash join (the
+     * per-host politeness budget grows with round number, so the
+     * dispatched slice is NOT bounded — an unconditional broadcast would
+     * eventually exceed driver/executor memory). */
+    broadcastRowLimit: Long = 1000000L) {
   /** allowed_domains semantics of gcloud_master.py:50-59: blank entries are
    * ignored; empty effective list ⇒ allow all; else case-insensitive exact
    * or dot-suffix match. */

@@ -48,6 +48,14 @@ import org.apache.spark.sql.types.LongType
  *    a per-URL window: partial aggregation combines duplicates map-side,
  *    so a URL every page links to (a homepage) never concentrates rows
  *    into one task.
+ *
+ * Fault model: the eager local checkpoints inside a round are TRANSIENT
+ * per-round state (they cap recompute of multiply-consumed intermediates,
+ * not durability). Durability is the round snapshot: every round commits
+ * atomically, so on any executor/driver loss the crawl resumes EXACTLY
+ * from the last committed round (resume-equivalence is spec-enforced) —
+ * recompute is bounded by one round, which is the intended unit of retry
+ * on a real cluster.
  */
 object Crawler {
 
@@ -134,14 +142,24 @@ object Crawler {
 
     // seen anti-join (D1), sketch-prefiltered when available: sketch-negative
     // candidates skip the join entirely; positives are exactly re-checked,
-    // so filter false positives never drop URLs.
+    // so filter false positives never drop URLs. The probe is a native
+    // codegen expression (SketchContains), computed ONCE per unique URL:
+    // the probed agg output is materialized (lazy local checkpoint), so the
+    // two branches below share a single run of the candidate pipeline.
     val fresh = seenSketch match {
       case Some(sk) =>
         val bc = spark.sparkContext.broadcast(sk)
-        val mightContain = udf((u: String) => bc.value.mightContain(u))
-        val maybeSeen = firstOnly.where(mightContain(col("url")))
-        val definitelyNew = firstOnly.where(!mightContain(col("url")))
-        maybeSeen.join(seen, Seq("url"), "left_anti").unionByName(definitelyNew)
+        // EAGER checkpoint: both branches below consume this in the same
+        // downstream job — a lazy checkpoint would race and compute the
+        // candidate pipeline twice (observable as BlockManager
+        // "already exists" warnings); eager materializes exactly once.
+        val probed = firstOnly
+          .withColumn("maybe_seen_",
+            graft.functions.sketch.sketch_contains(col("url"), bc))
+          .localCheckpoint(true)
+        probed.where(col("maybe_seen_")).drop("maybe_seen_")
+          .join(seen, Seq("url"), "left_anti")
+          .unionByName(probed.where(!col("maybe_seen_")).drop("maybe_seen_"))
       case None =>
         firstOnly.join(seen, Seq("url"), "left_anti")
     }
@@ -215,7 +233,8 @@ object Crawler {
    * anti-join is cheaper than a broadcast + filter pass). */
   def run(spark: SparkSession, docs: Dataset[Doc], seedUrls: Seq[String],
           policies: Dataset[HostPolicy], cfg: CrawlConfig, root: String,
-          maxRounds: Int = 10000, sketchThreshold: Long = 100000L): CrawlSummary = {
+          maxRounds: Int = 10000, sketchThreshold: Long = 100000L,
+          seedFeed: Int => Seq[String] = _ => Nil): CrawlSummary = {
     import spark.implicits._
     val snap = new SnapshotTable(root)
 
@@ -226,6 +245,7 @@ object Crawler {
     val emptySched = Seq.empty[(String, Long)].toDF("host", "dispatched")
     val emptyFailed = Seq.empty[(String, String, Int, Int, Long, String)]
       .toDF("url", "host", "depth", "retry", "seq", "error")
+    val emptyQuar = Seq.empty[String].toDF("host")
 
     // ---- restore or seed (gcloud_master.py:274-318 / :533-540) ----
     // `seen` is a HYBRID table: O(admitted) appended per round (a 10^10
@@ -235,7 +255,7 @@ object Crawler {
     // seed URLs not yet covered by any committed seen append (first round
     // of a fresh crawl appends them together with its admitted links)
     var pendingSeen = emptySeen
-    var (round, nextSeq, frontier, seen, hostCounts, hostSched, failedTbl) =
+    var (round, nextSeq, frontier, seen, hostCounts, hostSched, failedTbl, quarTbl) =
       snap.latestRound match {
         case Some(r) =>
           val m = snap.meta(r)
@@ -249,7 +269,8 @@ object Crawler {
             snap.loadHybrid(spark, "seen", r),
             snap.loadReplaced(spark, "host_counts", r),
             snap.loadReplaced(spark, "host_sched", r),
-            snap.loadReplaced(spark, "failed", r))
+            snap.loadReplaced(spark, "failed", r),
+            snap.loadReplaced(spark, "quarantined", r))
         case None =>
           val seedCand = seedUrls.zipWithIndex.toDF("url", "idx")
             .select(col("url"),
@@ -263,10 +284,11 @@ object Crawler {
             .localCheckpoint(true)
           val s0 = f0.select("url")
           val c0 = f0.groupBy("host").agg(count(lit(1)).as("cnt"))
+          val nSeed = f0.count()
           sketch = graft.functions.SeenSketch.empty(cfg.seenSketch, cfg.sketchCapacity)
-          s0.as[String].collect().foreach(sketch.add)
+          graft.functions.SeenSketch.addAll(sketch, s0, "url", nSeed)
           pendingSeen = s0
-          (0, f0.count(), f0, s0, c0, emptySched, emptyFailed)
+          (0, nSeed, f0, s0, c0, emptySched, emptyFailed, emptyQuar)
       }
 
     // tiny per-host table; joined as the LEFT of outer joins, so no explicit
@@ -278,7 +300,52 @@ object Crawler {
     var frontierSize = frontier.count()
     var seenSize = seen.count()
 
-    while (frontierSize > 0 && round < maxRounds) {
+    // a saturated sketch (reloaded from a saturated blob, or seeds past
+    // capacity) must never serve as the admission prefilter — rebuild at
+    // growing capacity until healthy before the first round uses it
+    var restoreCap = math.max(4L * math.max(seenSize, 1L), sketch.capacity * 4)
+    while (sketch.saturated) {
+      sketch = graft.functions.SeenSketch.build(seen, "url", cfg.seenSketch, restoreCap)
+      restoreCap *= 4
+    }
+
+    // `seedFeed` must be a pure function of the round number (it is called
+    // once in the loop guard and once in the body) — the config-hot-reload
+    // contract: "what new seeds appeared by round r" (T5).
+    while (round < maxRounds && (frontierSize > 0 || seedFeed(round).nonEmpty)) {
+      // ---- config hot-reload (T5, gcloud_master.py:542-617): seeds that
+      // appeared since the last round are admitted at depth 0 through the
+      // SAME gate as extracted links (seen-dedup D1/D3, allowed-domains,
+      // per-host cap) and appended at the back of the queue before this
+      // round's dispatch — the reference's add-seeds-to-running-crawl flow.
+      val injectedSeeds = seedFeed(round)
+      if (injectedSeeds.nonEmpty) {
+        val cand = injectedSeeds.zipWithIndex.toDF("url", "idx")
+          .select(col("url"), gf.url_policy_host(col("url")).as("host"),
+            lit(0).as("depth"), lit(0).as("retry"),
+            lit(-1L).as("ord1"), col("idx").as("ord2"))
+        val prefilterInj =
+          if (seenSize >= sketchThreshold && !sketch.saturated) Some(sketch) else None
+        val adm = admit(spark, cand, seen, hostCounts, cfg, prefilterInj)
+          .select("url", "host", "depth", "retry", "ord1", "ord2")
+        val entries = assignSeq(spark, adm, Seq(col("ord1"), col("ord2")), nextSeq)
+          .select("url", "host", "depth", "retry", "seq")
+          .localCheckpoint(true)
+        val nInj = entries.count()
+        if (nInj > 0) {
+          nextSeq += nInj
+          frontier = frontier.unionByName(entries)
+          seen = seen.unionByName(entries.select("url"))
+          pendingSeen = pendingSeen.unionByName(entries.select("url"))
+          val injCounts = entries.groupBy("host").agg(count(lit(1)).as("inj_cnt"))
+          hostCounts = hostCounts.join(injCounts, Seq("host"), "full_outer")
+            .select(col("host"), (coalesce(col("cnt"), lit(0L)) +
+              coalesce(col("inj_cnt"), lit(0L))).as("cnt"))
+          graft.functions.SeenSketch.addAll(sketch, entries.select("url"), "url", nInj)
+          seenSize += nInj
+        }
+      }
+
       // ---- politeness window (T4): per-host budget from accumulated time.
       // total_allowed(host, r) = floor((r+1)*roundSeconds / delay); the
       // remaining budget subtracts everything already dispatched — this
@@ -305,22 +372,55 @@ object Crawler {
       // ≤ S·rem rows; phase 2 ranks those per host to pick the true first
       // `rem` in seq order.
       val (dispatchedRaw, deferred) = dispatchSelect(frontier, budget, defaultTotal)
+      // problematic-domain quarantine (F9, gcloud_crawler.py:242-253):
+      // fetches to quarantined hosts short-circuit as failures. The flag is
+      // stamped at dispatch (quarantine table is per-host and tiny —
+      // broadcast), takes effect the round AFTER a host is quarantined
+      // (BSP boundary normalization of the reference's immediate set-add),
+      // and still consumes the dispatch slot.
       val dispatched = dispatchedRaw
+        .join(broadcast(quarTbl.withColumn("quar_", lit(true))), Seq("host"), "left_outer")
+        .withColumn("quar", coalesce(col("quar_"), lit(false))).drop("quar_")
         .localCheckpoint(true) // frontier slice reused 4+ times below
 
-      // ---- "fetch": broadcast the bounded dispatched set against docs.
-      // Inner join finds fetched pages; anti join derives 404s — both keep
-      // the 100 TB docs side stream-only (build side = dispatched).
+      // ---- "fetch": join the politeness-bounded dispatched set against
+      // docs. Inner join finds fetched pages; anti join derives 404s. The
+      // join strategy is SIZE-GATED: a broadcast join only while the
+      // dispatched count is under cfg.broadcastRowLimit (the per-host
+      // budget GROWS with round number, so "dispatched is small" is not an
+      // invariant); past the limit, a distributed bloom filter prunes the
+      // 100 TB docs scan down to ~dispatched size AT THE SCAN (non-matching
+      // rows never shuffle — FPs are re-checked exactly by the equi-join),
+      // and a shuffle-hash join finishes, so neither the driver nor any
+      // executor ever holds the whole dispatched set.
+      val nDisp = dispatched.count() // cheap: dispatched is checkpointed
       val docsDf = docs.toDF()
-      val fetched = docsDf.join(broadcast(dispatched), col("doc_id") === col("url"))
-      val missing = dispatched.join(
-        broadcast(fetched.select(col("url").as("fetched_url"))),
-        col("url") === col("fetched_url"), "left_anti")
+      val (fetched, missing) =
+        if (nDisp <= cfg.broadcastRowLimit) {
+          val f = docsDf.join(broadcast(dispatched), col("doc_id") === col("url"))
+          val m = dispatched.join(
+            broadcast(f.select(col("url").as("fetched_url"))),
+            col("url") === col("fetched_url"), "left_anti")
+          (f, m)
+        } else {
+          val urlBloom = graft.functions.SeenSketch.build(
+            dispatched.select("url"), "url", "bloom", math.max(nDisp, 1024L))
+          val bcBloom = spark.sparkContext.broadcast(urlBloom)
+          val prunedDocs = docsDf.where(
+            graft.functions.sketch.sketch_contains(col("doc_id"), bcBloom))
+          val f = prunedDocs.join(dispatched.hint("shuffle_hash"),
+            col("doc_id") === col("url"))
+          val m = dispatched.join(
+            f.select(col("url").as("fetched_url")).hint("shuffle_hash"),
+            col("url") === col("fetched_url"), "left_anti")
+          (f, m)
+        }
 
       val robotsOn = cfg.respectRobots
       val fetchedTyped = fetched.select(
         col("url"), col("host"), col("depth"), col("retry"), col("seq"),
-        when(lit(robotsOn) && !col("robots_allow"), lit("skipped_robots"))
+        when(col("quar"), lit("quarantined")) // checked FIRST, as in the ref
+          .when(lit(robotsOn) && !col("robots_allow"), lit("skipped_robots"))
           .when(col("retry") < col("flaky_fails"), lit("timeout"))
           .when(col("content_type") =!= "text/html", lit("ok_non_html"))
           .otherwise(lit("ok")).as("status"),
@@ -328,7 +428,13 @@ object Crawler {
 
       val results = fetchedTyped.unionByName(
         missing.select(col("url"), col("host"), col("depth"), col("retry"), col("seq"),
-          lit("failed").as("status"), lit(null).cast("string").as("raw"),
+          // same gate ORDER as the fetched branch: quarantine, then robots
+          // (the reference checks robots before fetching, so a dangling URL
+          // on a disallowed host is skipped_robots, not a 404), then 404
+          when(col("quar"), lit("quarantined"))
+            .when(lit(robotsOn) && !col("robots_allow"), lit("skipped_robots"))
+            .otherwise(lit("failed")).as("status"),
+          lit(null).cast("string").as("raw"),
           lit(null).cast("string").as("content_type")))
         .withColumn("spans",
           when(col("status") === "ok", gf.extract_spans(col("raw")))
@@ -357,7 +463,8 @@ object Crawler {
         .withColumn("host", gf.url_policy_host(col("url")))
         .withColumn("retry", lit(0))
 
-      val prefilter = if (seenSize >= sketchThreshold) Some(sketch) else None
+      val prefilter =
+        if (seenSize >= sketchThreshold && !sketch.saturated) Some(sketch) else None
       val admitted = admit(spark, candidates, seen, hostCounts, cfg, prefilter)
         .select("url", "host", "depth", "retry", "ord1", "ord2")
         .localCheckpoint(true)
@@ -373,31 +480,43 @@ object Crawler {
         .localCheckpoint(true)
       val addsCount = newEntries.count()
       nextSeq += addsCount
+      // seen grows by admitted only (requeues are already-seen URLs)
+      val admittedCount = admitted.count() // cheap: checkpointed
 
       // ---- state updates
       val newFrontier = deferred.unionByName(newEntries)
       val newSeen = seen.unionByName(admitted.select("url"))
 
-      // incremental sketch maintenance: O(admitted) per round, never a
-      // seen-sized rebuild — except on saturation, where we rebuild 4x
-      // bigger from the full seen table (amortized O(seen) per crawl).
-      val addIt = admitted.select("url").as[String].toLocalIterator
-      while (addIt.hasNext) sketch.add(addIt.next())
-      if (sketch.saturated)
-        sketch = graft.functions.SeenSketch.build(newSeen, "url", cfg.seenSketch,
-          math.max(4L * (seenSize + addsCount), sketch.capacity * 4))
+      // incremental sketch maintenance, DISTRIBUTED: per-partition delta
+      // shards over this round's admitted URLs, merged into the running
+      // sketch on the driver (SeenSketch.addAll) — O(adds) spread across
+      // executors, never a driver-side row loop. On saturation, rebuild at
+      // growing capacity from the full seen table until healthy (amortized
+      // O(seen) per crawl, like a growable array).
+      if (admittedCount > 0)
+        graft.functions.SeenSketch.addAll(sketch, admitted.select("url"), "url", admittedCount)
+      var rebuildCap = math.max(4L * (seenSize + admittedCount), sketch.capacity * 4)
+      while (sketch.saturated) {
+        sketch = graft.functions.SeenSketch.build(newSeen, "url", cfg.seenSketch, rebuildCap)
+        rebuildCap *= 4
+      }
 
       // terminal failures accumulate in the checkpointed failed table
       // (CrawlState.failed, gcloud_master.py:197-207) — the reset-failures
       // flow (D4) re-opens them.
       val failedNow = results
-        .where(col("status") === "failed" || col("status") === "skipped_robots")
+        .where(col("status").isin("failed", "skipped_robots", "quarantined"))
         .unionByName(timeoutFail)
         .select(col("url"), col("host"), col("depth"), col("retry"), col("seq"),
           when(col("status") === "failed", lit("http_404"))
             .when(col("status") === "skipped_robots", lit("robots_disallowed"))
+            .when(col("status") === "quarantined", lit("quarantined_host"))
             .otherwise(lit("retries_exhausted")).as("error"))
       val newFailed = failedTbl.unionByName(failedNow)
+      // hosts whose URLs exhausted their retries this round join the
+      // quarantine (the reference's connection-failure path,
+      // gcloud_crawler.py:432,452) — effective from the NEXT round
+      val newQuar = quarTbl.unionByName(timeoutFail.select("host")).distinct()
       val admittedCounts = admitted.groupBy("host").agg(count(lit(1)).as("add_cnt"))
       val newHostCounts = hostCounts.join(admittedCounts, Seq("host"), "full_outer")
         .select(col("host"),
@@ -416,6 +535,7 @@ object Crawler {
         when(col("status") === "failed", lit("http_404"))
           .when(col("status") === "timeout", lit("fetch_timeout"))
           .when(col("status") === "skipped_robots", lit("robots_disallowed"))
+          .when(col("status") === "quarantined", lit("quarantined_host"))
           .otherwise(lit(null).cast("string")).as("error"),
         when(col("status") === "ok",
           size(filter(col("spans"), s => s("kind") === "link")))
@@ -428,6 +548,32 @@ object Crawler {
           lit("")).as("title"),
         concat_ws(" ", transform(
           filter(col("spans"), s => s("text") =!= ""), s => s("text"))).as("text"))
+
+      // ---- raw-page store (S6, gcloud_crawler.py:555-590): every
+      // successfully fetched page keeps its raw body. Written UNBUCKETED,
+      // straight from the checkpointed results — raw bodies are the round's
+      // biggest payload and a bucketing repartition would shuffle all of
+      // them every round; the point lookup (J6) still prunes via parquet
+      // min/max footer stats on the url column.
+      val pages = results.where(col("status").isin("ok", "ok_non_html")).select(
+        lit(round).as("round"), col("url"), col("host"),
+        col("raw"), col("content_type"))
+
+      // ---- incremental inverted index (T8/S9, gcloud_indexer.py:43-62,
+      // 356-366): postings for THIS round's docs only — idempotent on
+      // (term, url) globally because seen-dedup admits each url once ever.
+      val postingsRows = SearchIndex.postings(
+        docStore.select("url", "title", "text")).withColumn("round", lit(round))
+
+      // ---- per-worker stats (A4/T7, gcloud_master.py:702-725): processed
+      // counts per executor partition, with the round as the heartbeat
+      // clock (wall-clock-free liveness: a worker partition that appears in
+      // round r was alive in round r).
+      val workerStats = fetchLog
+        .groupBy(col("round"), col("part_id"))
+        .agg(count(lit(1)).as("processed"),
+          count(when(col("status").isin("ok", "ok_non_html"), 1)).as("completed"),
+          sum(col("links_found")).as("links_found"))
 
       // ---- round counters (CrawlState sizes, gcloud_master.py:686-688),
       // computed pre-commit so they ride in the SAME atomic snapshot and
@@ -442,11 +588,11 @@ object Crawler {
       def n(s: String) = byStatus.get(s).map(_._1).getOrElse(0L)
       val nDispatched = byStatus.values.map(_._1).sum
       val timeoutExhausted = byStatus.get("timeout").map(_._2).getOrElse(0L)
-      val nFailed = n("failed") + n("skipped_robots") + timeoutExhausted
+      val nFailed = n("failed") + n("skipped_robots") + n("quarantined") + timeoutExhausted
       val nCompleted = n("ok") + n("ok_non_html")
       val nRequeued = n("timeout") - timeoutExhausted
       frontierSize = newFrontier.count()
-      seenSize = seenSize + addsCount // seen only ever grows by admitted
+      seenSize = seenSize + admittedCount
       val rs = RoundStats(round, nDispatched, nCompleted, nFailed,
         nRequeued, addsCount, frontierSize, seenSize)
       stats += rs
@@ -459,15 +605,17 @@ object Crawler {
         replaced = Map(
           "frontier" -> newFrontier,
           "host_counts" -> newHostCounts, "host_sched" -> newHostSched,
-          "failed" -> newFailed),
+          "failed" -> newFailed, "quarantined" -> newQuar),
         appended = Map(
           "seen" -> pendingSeen.unionByName(admitted.select("url")),
           "fetch_log" -> fetchLog, "doc_store" -> docStore,
+          "pages" -> pages, "postings" -> postingsRows,
+          "worker_stats" -> workerStats,
           "counters" -> Seq(rs).toDS().toDF()),
         meta = Map("nextSeq" -> nextSeq.toString),
         blobs = Map("seen_sketch" -> graft.functions.SeenSketch.serialize(sketch)),
-        bucketed = Map("frontier" ->
-          pmod(xxhash64(col("host")), lit(graft.plans.SnapshotTable.Buckets))))
+        bucketed = Map(
+          "frontier" -> pmod(xxhash64(col("host")), lit(graft.plans.SnapshotTable.Buckets))))
       pendingSeen = emptySeen
 
       // reload from the committed snapshot: truncates lineage and makes the
@@ -477,6 +625,7 @@ object Crawler {
       hostCounts = snap.loadReplaced(spark, "host_counts", round)
       hostSched = snap.loadReplaced(spark, "host_sched", round)
       failedTbl = snap.loadReplaced(spark, "failed", round)
+      quarTbl = snap.loadReplaced(spark, "quarantined", round)
       round += 1
     }
     CrawlSummary(round, stats.toSeq)
@@ -490,6 +639,67 @@ object Crawler {
     val r = snap.latestRound.getOrElse(
       throw new IllegalStateException("no crawl state"))
     snap.loadAppended(spark, "counters", r).orderBy("round")
+  }
+
+  /** Raw-page point lookup (J6, /get_html — templates/app.py:807-904):
+   * exact url key against the pages store; the equality predicate reaches
+   * the parquet scan (footer min/max pruning). */
+  def getPage(spark: SparkSession, root: String, url: String): DataFrame = {
+    val snap = new SnapshotTable(root)
+    val r = snap.latestRound.getOrElse(
+      throw new IllegalStateException("no crawl state"))
+    snap.loadAppended(spark, "pages", r)
+      .where(col("url") === url)
+      .select("round", "url", "content_type", "raw")
+  }
+
+  /** /check_url (templates/app.py:906-1015): exact match plus fuzzy
+   * contains-matches on a scheme-/slash-normalized needle, tagged by kind. */
+  def checkUrl(spark: SparkSession, root: String, url: String): DataFrame = {
+    val snap = new SnapshotTable(root)
+    val r = snap.latestRound.getOrElse(
+      throw new IllegalStateException("no crawl state"))
+    val needle = url.replaceFirst("^https?://", "").stripSuffix("/")
+    val pages = snap.loadAppended(spark, "pages", r)
+      .select("round", "url", "content_type")
+    pages.where(col("url") === url).withColumn("match_kind", lit("exact"))
+      .unionByName(
+        pages.where(col("url") =!= url && col("url").contains(needle))
+          .withColumn("match_kind", lit("fuzzy")))
+      .orderBy(col("match_kind"), col("url"))
+  }
+
+  /** Search the PERSISTED postings table (T8/S9 — no index recompute:
+   * gcloud_indexer.py:271-327 snapshots, :356-366 appends) and attach a
+   * leading-text snippet (C8, :340) by joining doc_store for the k result
+   * rows only. */
+  def searchStore(spark: SparkSession, root: String, query: String,
+                  field: String = "content", k: Int = 10): DataFrame = {
+    val snap = new SnapshotTable(root)
+    val r = snap.latestRound.getOrElse(
+      throw new IllegalStateException("no crawl state"))
+    val postings = snap.loadAppended(spark, "postings", r)
+      .select("term", "url", "weight", "title")
+    val top = SearchIndex.search(postings, query, field, k)
+    val docs = snap.loadAppended(spark, "doc_store", r).select("url", "text")
+    top.join(docs, Seq("url"), "left_outer")
+      .withColumn("snippet",
+        concat(substring(coalesce(col("text"), lit("")), 1, 200), lit("...")))
+      .select("url", "score", "title", "snippet")
+      .orderBy(desc("score"), asc("url"))
+  }
+
+  /** Per-worker (executor partition) processed/completed counters with the
+   * round as heartbeat clock (A4/T7, gcloud_master.py:702-725). */
+  def workerStats(spark: SparkSession, root: String): DataFrame = {
+    val snap = new SnapshotTable(root)
+    val r = snap.latestRound.getOrElse(
+      throw new IllegalStateException("no crawl state"))
+    snap.loadAppended(spark, "worker_stats", r)
+      .groupBy("part_id")
+      .agg(sum("processed").as("processed"), sum("completed").as("completed"),
+        sum("links_found").as("links_found"), max("round").as("last_heartbeat_round"))
+      .orderBy("part_id")
   }
 
   /** Recent-activity tail (O3, templates/app.py:572-576): last n completed
@@ -563,12 +773,18 @@ object Crawler {
       } else {
         val shrunk = seen.join(failedTbl.select("url"), Seq("url"), "left_anti")
           .localCheckpoint(true)
-        if (sketch.kind == "cuckoo") {
+        if (sketch.kind == "cuckoo" && n <= 1000000) {
+          // exact per-entry deletes — O(failed), bounded by the failed set
+          // (deletes mutate one shared filter, so they stream through the
+          // driver; past 1M entries a distributed rebuild is cheaper)
           val it = failedTbl.select("url").as[String].toLocalIterator
           while (it.hasNext) sketch.delete(it.next())
         } else {
-          sketch = graft.functions.SeenSketch.build(shrunk, "url",
-            sketch.kind, math.max(sketch.capacity, cfg.sketchCapacity))
+          var cap = math.max(sketch.capacity, cfg.sketchCapacity)
+          do {
+            sketch = graft.functions.SeenSketch.build(shrunk, "url", sketch.kind, cap)
+            cap *= 4
+          } while (sketch.saturated)
         }
         // inverse of admission: give the hosts their cap budget back
         val dec = failedTbl.groupBy("host").agg(count(lit(1)).as("dec"))
@@ -580,12 +796,15 @@ object Crawler {
 
     // requeue mode leaves `seen` untouched (no commit entry — prior appends
     // stay visible); forget mode REPLACES it with the shrunken set, which
-    // doubles as a compaction point for the hybrid append chain
+    // doubles as a compaction point for the hybrid append chain. Both modes
+    // CLEAR the quarantine (the reference's clear_problematic_domains flag
+    // rides the same reset flow, gcloud_crawler.py:770-790).
     snap.commit(spark, r + 1,
       replaced = Map(
         "frontier" -> newFrontier,
         "host_counts" -> newHostCounts,
-        "host_sched" -> hostSched, "failed" -> emptyFailed) ++
+        "host_sched" -> hostSched, "failed" -> emptyFailed,
+        "quarantined" -> Seq.empty[String].toDF("host")) ++
         (if (forget) Map("seen" -> newSeen) else Map.empty),
       appended = Map.empty,
       meta = Map("nextSeq" -> (nextSeq + (if (forget) 0L else reopened)).toString),

@@ -50,10 +50,17 @@ object Dedup {
                  n: Int = 3, bands: Int = 32, rows: Int = 4,
                  threshold: Double = 0.8): DataFrame = {
     val k = bands * rows
+    // shingle ONCE into 64-bit hashes and drop the strings immediately:
+    // signatures, banding, and exact verification all run over the hashed
+    // sets (jaccard over 64-bit hashed distinct sets == jaccard over the
+    // string sets up to a ~1e-15 collision). Materialized (lazy local
+    // checkpoint) so banding and verification share one shingling pass.
     val withSig = df.select(
       col(id).as("doc"),
-      array_distinct(shingles(col(text), n)).as("sh"))
-      .withColumn("sig", sketch.minhash_sig(sketch.hash64_array(col("sh")), k))
+      sketch.hash64_array(array_distinct(shingles(col(text), n))).as("hs"))
+      .withColumn("sig", sketch.minhash_sig(col("hs"), k))
+      .localCheckpoint(true) // eager: banding + verification both read it
+
 
     // band → bucket key; only (doc, band, hash) goes through the shuffle
     val banded = withSig.select(
@@ -67,14 +74,13 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    // exact verification on the candidate set only
-    val sets = withSig.select(col("doc"), col("sh"))
+    // exact verification on the candidate set only — sort-merge Jaccard
+    // over the hashed sets in one codegen'd expression
+    val sets = withSig.select(col("doc"), col("hs"))
     candidates
-      .join(sets.select(col("doc").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("doc").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .join(sets.select(col("doc").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sets.select(col("doc").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("jaccard", sketch.jaccard_long(col("hs_a"), col("hs_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

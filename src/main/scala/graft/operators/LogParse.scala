@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Raw-log-line parsing (SURVEY §2.1 S13 full form; templates/app.py:
+ * 1028-1144 `/get_logs`): extract a timestamp from each line using the
+ * reference's two regex shapes — `YYYY-MM-DD HH:MM:SS` anywhere in the
+ * line, falling back to a `[ ... ]`-bracketed variant — keep lines newer
+ * than `since`, sort by time, return the last `limit`.
+ *
+ * Normalizations (documented, deliberate): lines with no parseable
+ * timestamp are dropped (the reference keeps them only in the
+ * wall-clock-dependent `since == 0` initial-load branch), and ties on the
+ * truncated-to-seconds timestamp break by line text descending (the
+ * reference relies on Python sort stability, which is not a semantic).
+ */
+object LogParse {
+
+  /** Reference main pattern (templates/app.py:1074). */
+  val TsRe = "(\\d{4}-\\d{2}-\\d{2}\\s+\\d{2}:\\d{2}:\\d{2})"
+  /** Reference bracketed fallback (templates/app.py:1092). */
+  val AltRe = "\\[([\\d-]+\\s+[\\d:]+)\\]"
+
+  def parse(lines: DataFrame, lineCol: String, sinceEpoch: Long,
+            limit: Int = 200): DataFrame = {
+    val main = regexp_extract(col(lineCol), TsRe, 1)
+    val alt = regexp_extract(col(lineCol), AltRe, 1)
+    val tsStr = when(length(main) > 0, main)
+      .when(length(alt) > 0, alt)
+    lines
+      .withColumn("epoch",
+        unix_timestamp(to_timestamp(tsStr, "yyyy-MM-dd HH:mm:ss")))
+      .where(col("epoch") > sinceEpoch)
+      .orderBy(desc("epoch"), desc(lineCol))
+      .limit(limit)
+      .select(col("epoch"), col(lineCol).as("line"))
+  }
+}

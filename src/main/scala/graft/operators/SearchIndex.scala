@@ -36,24 +36,34 @@ object SearchIndex {
   }
 
   /** Weighted-sum search. field ∈ {content, title, url}
-   * (gcloud_indexer.py:74-88). Duplicate query terms score twice, as in
-   * the reference's per-token loop. */
+   * (gcloud_indexer.py:64-101). Duplicate query terms score twice, as in
+   * the reference's per-token loop. field=url follows the reference
+   * exactly: it scans ALL indexed urls (not just content hits) and scores
+   * 1.0 per query term that is a substring of the url; field=title keeps
+   * only postings whose term appears in the title's token set. */
   def search(postings: DataFrame, query: String, field: String = "content",
              k: Int = 10): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
     val terms = "[a-z0-9_]+".r.findAllIn(query.toLowerCase).toSeq.toDF("term")
 
-    val hits = postings.join(broadcast(terms), Seq("term"))
-    val filtered = field match {
+    val scored = field match {
+      case "url" =>
+        postings.groupBy("url").agg(first("title").as("title"))
+          .crossJoin(broadcast(terms))
+          .where(col("url").contains(col("term")))
+          .groupBy("url")
+          .agg(sum(lit(1.0)).as("score"), first("title").as("title"))
       case "title" =>
-        hits.where(array_contains(gf.tokenize(col("title")), col("term")))
-      case "url" => hits.where(col("url").contains(col("term")))
-      case _ => hits
+        postings.join(broadcast(terms), Seq("term"))
+          .where(array_contains(gf.tokenize(col("title")), col("term")))
+          .groupBy("url")
+          .agg(sum("weight").as("score"), first("title").as("title"))
+      case _ =>
+        postings.join(broadcast(terms), Seq("term"))
+          .groupBy("url")
+          .agg(sum("weight").as("score"), first("title").as("title"))
     }
-    filtered.groupBy("url")
-      .agg(sum("weight").as("score"), first("title").as("title"))
-      .orderBy(desc("score"), asc("url"))
-      .limit(k)
+    scored.orderBy(desc("score"), asc("url")).limit(k)
   }
 }

@@ -1,17 +1,20 @@
 package graft.operators
 
 import graft.functions.vec
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
  * Approximate-nearest-neighbor search over an `array<float>` embedding
  * column. Baseline: brute-force cosine top-k (exact; one pass over the
- * corpus per query batch, queries broadcast). Scale path: IVF — a coarse
- * deterministic centroid assignment prunes the scan to the probed cells,
- * turning the 100 TB full scan into a partition-pruned fraction; recall
- * is tunable by nProbe.
+ * corpus per query batch, queries broadcast). Scale path: IVF — vectors
+ * are assigned to their nearest coarse centroid (deterministic first-N
+ * seeding + a few distributed Lloyd refinement rounds), the assignment is
+ * PERSISTED partitioned by cell, and a query probes only its nProbe
+ * nearest cells — on the partitioned store the scan prunes to
+ * ~nProbe/nCells of the data (PlanAudit: the cell predicate is a
+ * partition filter, not a post-scan filter).
  */
 object Similarity {
 
@@ -29,38 +32,104 @@ object Similarity {
       .select("qid", "rank", "vec_id", "cos")
   }
 
-  /**
-   * IVF (inverted-file) ANN: assign every vector to its nearest of
-   * `nCells` coarse centroids (taken deterministically from the corpus —
-   * the first nCells vectors by id, a standard seeding); at query time
-   * probe the nProbe nearest cells only. On a cell-partitioned table the
-   * probe reads ~nProbe/nCells of the data.
-   */
-  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-              queries: DataFrame, qidCol: String, qvecCol: String,
-              k: Int = 10, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    val centroids = broadcast(
-      vecs.orderBy("vec_id").limit(nCells)
-        .select(col("vec_id").as("cell"), col("v").as("cv")))
-
-    // cell assignment: argmax cosine over the broadcast centroids
-    val cellW = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), asc("cell"))
-    val assigned = vecs.crossJoin(centroids)
+  /** Nearest-centroid assignment as a max_by AGGREGATION (one map-side-
+   * combining shuffle keyed by vec_id — no per-vector sort window).
+   * Ties break toward the lowest cell id. Returns (vec_id, v, cell). */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
       .withColumn("ccos", vec.cosine_sim(col("v"), col("cv")))
-      .withColumn("crank", row_number().over(cellW))
-      .where(col("crank") === 1)
-      .select("vec_id", "v", "cell")
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("v")),
+        struct(col("ccos"), negate(col("cell")))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.cell").as("cell"))
 
-    // query → nProbe cells
-    val qs = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+  /** Coarse centroids: deterministic seeding (first nCells vectors by id)
+   * refined by `iters` distributed Lloyd rounds (assign → element-wise
+   * mean per cell). Cells are tiny (nCells rows), so each round is one
+   * narrow aggregation; empty cells drop out. Float-mean accumulation
+   * order varies with partitioning, so centroid values are deterministic
+   * only up to fp rounding — recall, not result correctness, depends on
+   * them (every returned distance is exactly recomputed). */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int, iters: Int = 2): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    var cents = vecs.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      cents = ivfAssign(vecs, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("mx"))
+        .groupBy(col("cell"))
+        .agg(collect_list(struct(col("pos"), col("mx"))).as("pm"))
+        .select(col("cell"),
+          transform(array_sort(col("pm")), s => s("mx").cast("float")).as("cv"))
+    }
+    cents
+  }
+
+  /** Build a persisted IVF index at `path`: the cell assignment written
+   * as parquet PARTITIONED BY cell (so a probe scan prunes to the probed
+   * cells), plus the centroids alongside. */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 path: String, nCells: Int = 16, iters: Int = 2): Unit = {
+    val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCells, iters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(vecs, cents)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Query → its nProbe nearest cells (tiny: queries × centroids). */
+  private def probeCells(queries: DataFrame, centroids: DataFrame,
+                         nProbe: Int): DataFrame = {
     val qW = Window.partitionBy(col("qid")).orderBy(desc("qcos"), asc("cell"))
-    val probed = qs.crossJoin(centroids)
+    queries.crossJoin(broadcast(centroids))
       .withColumn("qcos", vec.cosine_sim(col("qv"), col("cv")))
       .withColumn("qrank", row_number().over(qW))
       .where(col("qrank") <= nProbe)
       .select("qid", "qv", "cell")
+  }
 
+  /** Search a persisted IVF index: the probed cell ids are pushed as a
+   * PARTITION filter on the cells store, so only ~nProbe/nCells of the
+   * index is read at all. */
+  def searchIndex(spark: SparkSession, path: String,
+                  queries: DataFrame, qidCol: String, qvecCol: String,
+                  k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val qs = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+    val probed = probeCells(qs, cents, nProbe)
+    // probe set is tiny (queries × nProbe) — collect it so the cell list
+    // becomes a literal partition-pruning predicate on the scan
+    val cellIds = probed.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(cellIds: _*))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
+    cells.join(broadcast(probed), Seq("cell"))
+      .withColumn("cos", vec.cosine_sim(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "cos")
+  }
+
+  /**
+   * IVF (inverted-file) ANN, self-contained form: centroid refinement +
+   * assignment + probe in one plan (for the persisted form use
+   * buildIndex/searchIndex — that is the shape that prunes the scan at
+   * 100 TB; here the assignment is computed in-plan).
+   */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
+              iters: Int = 2): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCells, iters)
+      .localCheckpoint(true) // eager: assign + probe both read it
+    val assigned = ivfAssign(vecs, cents)
+    val qs = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+    val probed = probeCells(qs, cents, nProbe)
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
     assigned.join(broadcast(probed), Seq("cell"))
       .withColumn("cos", vec.cosine_sim(col("v"), col("qv")))

@@ -39,7 +39,8 @@ class CrawlOracle(docs: Map[String, Doc], policies: Map[String, HostPolicy],
     a.isEmpty || a.exists(d => host == d || host.endsWith("." + d))
   }
 
-  def run(seedUrls: Seq[String], maxRounds: Int = 10000): Result = {
+  def run(seedUrls: Seq[String], maxRounds: Int = 10000,
+          seedFeed: Int => Seq[String] = _ => Nil): Result = {
     val queue = mutable.ArrayDeque.empty[Entry]
     val seen = mutable.LinkedHashSet.empty[String]
     val hostCounts = mutable.Map.empty[String, Long].withDefaultValue(0L)
@@ -47,6 +48,9 @@ class CrawlOracle(docs: Map[String, Doc], policies: Map[String, HostPolicy],
     val schedule = mutable.ArrayBuffer.empty[LogRow]
     val completed = mutable.ArrayBuffer.empty[String]
     val failed = mutable.ArrayBuffer.empty[String]
+    // problematic-domain quarantine (F9): hosts whose URLs exhausted their
+    // retries; effective from the NEXT round (BSP boundary normalization)
+    val quarantined = mutable.Set.empty[String]
 
     // admission gate — the add_urls_to_queue loop, per candidate in order
     def tryAdmit(url: String, depth: Int): Unit = {
@@ -62,7 +66,10 @@ class CrawlOracle(docs: Map[String, Doc], policies: Map[String, HostPolicy],
     seedUrls.foreach(tryAdmit(_, 0))
 
     var round = 0
-    while (queue.nonEmpty && round < maxRounds) {
+    while ((queue.nonEmpty || seedFeed(round).nonEmpty) && round < maxRounds) {
+      // config hot-reload (T5): newly-appeared seeds admitted at depth 0
+      // at the round boundary, appended at the back of the queue
+      seedFeed(round).foreach(tryAdmit(_, 0))
       // politeness window: first remaining(host) queue entries per host
       val remaining = mutable.Map.empty[String, Long]
       def rem(host: String): Long = remaining.getOrElseUpdate(host,
@@ -81,10 +88,12 @@ class CrawlOracle(docs: Map[String, Doc], policies: Map[String, HostPolicy],
 
       val requeues = mutable.ArrayBuffer.empty[Entry]
       val expansions = mutable.ArrayBuffer.empty[(Entry, Seq[String])]
+      val newlyQuarantined = mutable.Set.empty[String]
 
       dispatched.zipWithIndex.foreach { case (e, slot) =>
         val status =
-          if (!allowedByRobots(e.host)) "skipped_robots"
+          if (quarantined(e.host)) "quarantined" // checked first, as in ref
+          else if (!allowedByRobots(e.host)) "skipped_robots"
           else docs.get(e.url) match {
             case None => "failed"
             case Some(d) if e.retry < d.flaky_fails => "timeout"
@@ -105,10 +114,14 @@ class CrawlOracle(docs: Map[String, Doc], policies: Map[String, HostPolicy],
           case "timeout" =>
             if (e.retry + 1 <= cfg.maxRetries)
               requeues += e.copy(retry = e.retry + 1)
-            else failed += e.url
+            else {
+              failed += e.url
+              newlyQuarantined += e.host // F9: retries exhausted
+            }
           case _ => failed += e.url
         }
       }
+      quarantined ++= newlyQuarantined
 
       // requeued timeouts go to the back first (check_timeouts precedes
       // process_results in the master loop), then children in BFS order

@@ -74,11 +74,13 @@ class SnapshotTable(val root: String) {
 
   def latestRound: Option[Int] = {
     if (!Files.isDirectory(manifestDir)) return None
-    val rounds = Files.list(manifestDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("r") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("r").stripSuffix(".json").toInt)
-      .toSeq
+    val rounds = scala.util.Using.resource(Files.list(manifestDir)) { stream =>
+      stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("r") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("r").stripSuffix(".json").toInt)
+        .toSeq
+    }
     if (rounds.isEmpty) None else Some(rounds.max)
   }
 

@@ -32,10 +32,12 @@ class CrawlEngineSpec extends AnyFunSuite {
 
   lazy val oracleResult = new CrawlOracle(docsMap, policyMap, cfg).run(seeds)
 
-  def runEngine(root: String, maxRounds: Int = 10000): Crawler.CrawlSummary = {
+  def runEngine(root: String, maxRounds: Int = 10000,
+                cfgUsed: CrawlConfig = cfg,
+                seedFeed: Int => Seq[String] = _ => Nil): Crawler.CrawlSummary = {
     import spark.implicits._
     Crawler.run(spark, CorpusGen.docs(spark, nDocs),
-      seeds, policies.toDS(), cfg, root, maxRounds)
+      seeds, policies.toDS(), cfgUsed, root, maxRounds, seedFeed = seedFeed)
   }
 
   def engineSchedule(root: String, lastRound: Int): Seq[(Int, String, String)] = {
@@ -125,6 +127,106 @@ class CrawlEngineSpec extends AnyFunSuite {
       engineSchedule(rootA, full.rounds - 1))
     assert(engineSeen(rootB, resumed.rounds - 1) ==
       engineSeen(rootA, full.rounds - 1))
+  }
+
+  test("problematic-host quarantine stays oracle-exact (F9)") {
+    // maxRetries=0 makes every flaky doc exhaust on FIRST dispatch (early,
+    // while its host still has queued URLs), and the wider cap/depth reach
+    // enough docs that quarantined hosts keep receiving dispatches which
+    // must short-circuit (69 quarantined rows in the oracle schedule)
+    val cfgQ = cfg.copy(maxRetries = 0, maxPagesPerDomain = 100, maxDepth = 5)
+    val oq = new CrawlOracle(docsMap, policyMap, cfgQ).run(seeds, maxRounds = 60)
+    assert(oq.schedule.exists(_.status == "quarantined"),
+      "fixture must actually exercise the quarantine path")
+    val root = Files.createTempDirectory("graft-crawl-q").toString
+    val s = runEngine(root, maxRounds = 60, cfgUsed = cfgQ)
+    assert(engineSchedule(root, s.rounds - 1) ==
+      oq.schedule.map(l => (l.round, l.url, l.status)))
+    assert(engineSeen(root, s.rounds - 1) == oq.seen.toSet)
+    // reset-failures clears the quarantine table
+    Crawler.resetFailures(spark, root, cfgQ)
+    val snap = new SnapshotTable(root)
+    assert(snap.loadReplaced(spark, "quarantined", s.rounds).count() == 0)
+  }
+
+  test("mid-crawl seed injection stays oracle-exact (T5 config hot-reload)") {
+    // big per-host cap so the injected URLs can't be cap-blocked — the
+    // injection path itself (admission + back-of-queue seq) is under test
+    val cfgH = cfg.copy(maxPagesPerDomain = 200)
+    val feed: Int => Seq[String] = {
+      case 2 => Seq(CorpusGen.urlOf(50, nDocs), CorpusGen.urlOf(51, nDocs),
+        seeds.head) // one duplicate — must be seen-deduped (D3)
+      case 4 => Seq(CorpusGen.urlOf(700, nDocs))
+      case _ => Nil
+    }
+    val of = new CrawlOracle(docsMap, policyMap, cfgH).run(seeds, seedFeed = feed)
+    assert(of.seen.contains(CorpusGen.urlOf(700, nDocs)),
+      "injected seed must enter the crawl")
+    val root = Files.createTempDirectory("graft-crawl-hot").toString
+    val s = runEngine(root, cfgUsed = cfgH, seedFeed = feed)
+    assert(engineSchedule(root, s.rounds - 1) ==
+      of.schedule.map(l => (l.round, l.url, l.status)))
+    assert(engineSeen(root, s.rounds - 1) == of.seen.toSet)
+  }
+
+  test("page store, persisted postings, search-from-store, worker stats (S6/J6/T8/A4)") {
+    import graft.operators.SearchIndex
+    val root = Files.createTempDirectory("graft-crawl-store").toString
+    val summary = runEngine(root)
+    val last = summary.rounds - 1
+    val snap = new SnapshotTable(root)
+    val log = snap.loadAppended(spark, "fetch_log", last)
+
+    // S6: every completed fetch has its raw page stored
+    val nCompleted = log.where(col("status").isin("ok", "ok_non_html")).count()
+    assert(snap.loadAppended(spark, "pages", last).count() == nCompleted)
+
+    // J6: point lookup returns the exact raw bytes of the corpus doc
+    val u = seeds.head
+    val got = Crawler.getPage(spark, root, u).collect()
+    assert(got.length == 1 && got(0).getAs[String]("raw") == docsMap(u).raw)
+    val chk = Crawler.checkUrl(spark, root, u).collect()
+    assert(chk.exists(_.getAs[String]("match_kind") == "exact"))
+
+    // T8: persisted per-round postings == postings recomputed from doc_store
+    val docStore = snap.loadAppended(spark, "doc_store", last)
+    val want = SearchIndex.postings(docStore.select("url", "title", "text"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val gotP = snap.loadAppended(spark, "postings", last)
+      .select("term", "url", "weight")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(gotP == want)
+
+    // search over the persisted table == search over a recomputed index,
+    // plus a snippet column (C8)
+    val viaStore = Crawler.searchStore(spark, root, "spark crawl", "content", 10).collect()
+    val direct = SearchIndex.search(
+      SearchIndex.postings(docStore.select("url", "title", "text")),
+      "spark crawl", "content", 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(viaStore.map(r => (r.getString(0), r.getDouble(1))).toSeq == direct)
+    assert(viaStore.nonEmpty && viaStore.forall(_.getAs[String]("snippet").endsWith("...")))
+
+    // J2 value checks: title-field and url-field search paths
+    assert(Crawler.searchStore(spark, root, "crawl", "title", 5).count() <= 5)
+    assert(Crawler.searchStore(spark, root, "h-000", "url", 5).count() == 5)
+
+    // A4/T7: worker stats cover every processed row; heartbeat = max round
+    val ws = Crawler.workerStats(spark, root)
+    assert(ws.agg(sum("processed")).collect()(0).getLong(0) == log.count())
+
+    // S11: async request/response tables — submit two requests, process,
+    // responses match the direct searchStore call; re-processing is a no-op
+    val svc = new graft.operators.SearchService(root)
+    svc.submit(spark, "r1", "spark crawl", "content", 10)
+    svc.submit(spark, "r2", "frontier", "content", 5)
+    assert(svc.pending(spark).count() == 2)
+    assert(svc.processPending(spark, root) == 2)
+    assert(svc.pending(spark).count() == 0)
+    assert(svc.processPending(spark, root) == 0) // idempotent micro-batch
+    val r1 = svc.responses(spark).where(col("req_id") === "r1")
+      .orderBy("rank").collect().map(r => (r.getAs[String]("url"), r.getAs[Double]("score")))
+    assert(r1.toSeq == viaStore.map(r => (r.getString(0), r.getDouble(1))).toSeq)
   }
 
   test("output is invariant to shuffle partitioning (salt-/parallelism-independence)") {

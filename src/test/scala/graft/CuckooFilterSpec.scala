@@ -97,6 +97,63 @@ class CuckooFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("no false negatives even past saturation (orphan list holds them all)") {
+    val f = CuckooFilter.create(64)
+    val ks = keys(600, "sat") // ~5x nominal capacity: many failed kick chains
+    ks.foreach(f.insert)
+    ks.foreach(k => assert(f.mightContain(k), s"lost key past saturation: $k"))
+    // the overflow state must survive serialization too
+    val g = CuckooFilter.deserialize(f.serialize)
+    assert(g.hasOrphans)
+    ks.foreach(k => assert(g.mightContain(k), s"serialize dropped orphan key: $k"))
+  }
+
+  test("merge folds the other side's orphans (no keys lost)") {
+    val a = CuckooFilter.create(64)
+    val b = CuckooFilter.create(64) // same layout — shards must match
+    val ka = keys(10, "a")
+    val kb = keys(400, "ovf")
+    ka.foreach(a.insert)
+    kb.foreach(b.insert)
+    assert(b.hasOrphans, "test needs an overflowed shard")
+    a.mergeInPlace(b)
+    (ka ++ kb).foreach(k => assert(a.mightContain(k), s"merge dropped key: $k"))
+  }
+
+  test("orphaned keys can still be deleted") {
+    val f = CuckooFilter.create(64)
+    val ks = keys(500, "del")
+    ks.foreach(f.insert)
+    assert(f.hasOrphans)
+    ks.foreach(k => assert(f.delete(k), s"delete failed for $k"))
+    assert(!f.hasOrphans, "deletes should drain the orphan list")
+  }
+
+  test("saturated flag survives the SeenSketch blob round-trip") {
+    val s = SeenSketch.empty("cuckoo", 64).asInstanceOf[graft.functions.CuckooSeen]
+    keys(600, "sat").foreach(s.add)
+    assert(s.saturated)
+    val t = SeenSketch.deserialize(SeenSketch.serialize(s))
+    assert(t.saturated, "reloaded sketch lost its saturation state")
+    // bloom: count-derived saturation also survives
+    val b = SeenSketch.empty("bloom", 10)
+    keys(50, "b").foreach(b.add)
+    assert(b.saturated &&
+      SeenSketch.deserialize(SeenSketch.serialize(b)).saturated)
+  }
+
+  test("SeenSketch.merge folds a compatible delta (both kinds)") {
+    Seq("bloom", "cuckoo").foreach { kind =>
+      val base = SeenSketch.empty(kind, 10000)
+      val delta = SeenSketch.empty(kind, 10000)
+      val k1 = keys(300, "base"); val k2 = keys(300, "delta")
+      k1.foreach(base.add); k2.foreach(delta.add)
+      assert(base.merge(delta), s"$kind merge reported saturation")
+      (k1 ++ k2).foreach(k => assert(base.mightContain(k), s"$kind merge lost $k"))
+      assert(base.cardinality == 600L)
+    }
+  }
+
   test("SeenSketch bloom/cuckoo round-trip through the blob encoding") {
     Seq("bloom", "cuckoo").foreach { kind =>
       val s = SeenSketch.empty(kind, 10000)

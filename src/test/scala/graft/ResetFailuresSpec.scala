@@ -90,8 +90,12 @@ class ResetFailuresSpec extends AnyFunSuite {
     // generous caps (re-proposals must not be starved by domain budgets)
     // and a deep depth gate: after the round-3 reset the frontier must
     // still hold depth < maxDepth pages, else nothing expands links and
-    // nothing can organically re-propose the forgotten URLs
-    val c = cfg.copy(seenSketch = "cuckoo", maxPagesPerDomain = 100, maxDepth = 8)
+    // nothing can organically re-propose the forgotten URLs.
+    // maxRetries=3 (≥ max flaky_fails) so no host gets QUARANTINED (F9) —
+    // a quarantined hot host would stop link expansion and starve the
+    // organic re-proposal this test is about.
+    val c = cfg.copy(seenSketch = "cuckoo", maxPagesPerDomain = 100,
+      maxDepth = 8, maxRetries = 3)
     val root = Files.createTempDirectory("graft-rf-fg").toString
     // stop early so the frontier still has entries when we forget
     runEngine(root, c, maxRounds = 3, sketchThreshold = 0L)

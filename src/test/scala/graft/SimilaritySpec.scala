@@ -32,13 +32,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("ivfTopK achieves useful recall vs brute force") {
+  test("ivfTopK achieves high recall vs brute force (kmeans-refined cells)") {
     val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qv",
-      k = 10, nCells = 16, nProbe = 6)
+      k = 10, nCells = 16, nProbe = 6, iters = 2)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    assert(recall >= 0.5, s"recall $recall")
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("persisted IVF index: partition-pruned probe, same results as in-plan IVF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.buildIndex(emb, "vec_id", "embedding", dir, nCells = 16, iters = 2)
+    // the cells store is physically partitioned by cell
+    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName)
+    assert(cellDirs.length > 1, "index must be partitioned by cell")
+    val got = Similarity.searchIndex(spark, dir, queries, "qid", "qv", k = 10, nProbe = 6)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+    // probing must READ less than the whole store: the isin(cell ids)
+    // predicate prunes directory partitions before any file is opened
+    val pruned = spark.read.parquet(s"$dir/cells").where(col("cell").isin(0L))
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [") &&
+      !planStr.replaceAll("(?s).*PartitionFilters: \\[", "").startsWith("]"),
+      s"cell predicate must be a partition filter:\n$planStr")
   }
 }
