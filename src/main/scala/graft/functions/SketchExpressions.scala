@@ -96,6 +96,40 @@ object SketchCodegen {
     new GenericArrayData(out)
   }
 
+  /** Distinct hashed word-n-gram shingles in ONE pass: hash each token
+   * once, combine each n-window order-sensitively (polynomial + avalanche),
+   * sort + unique. Replaces the HOF pipeline
+   * `array_distinct(transform(sequence…, slice+array_join))`, which (a)
+   * falls out of whole-stage codegen (lambda HOFs are interpreted) and (b)
+   * re-evaluates the tokenizer child for EVERY array element — ~2 regex
+   * tokenizations per shingle. Jaccard over these hashed sets equals
+   * Jaccard over the string shingle sets up to 64-bit collisions. */
+  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    val m = math.max(0, cnt - n + 1)
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) { th(i) = hash64(tokens.getUTF8String(i)); i += 1 }
+    val w = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = h * 1000003L + th(i + j); j += 1 }
+      w(i) = mix64(h)
+      i += 1
+    }
+    java.util.Arrays.sort(w)
+    var out = 1
+    i = 1
+    while (i < m) {
+      if (w(i) != w(i - 1)) { w(out) = w(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(w, out))
+  }
+
   /** Exact Jaccard of two DISTINCT-element long arrays (hashed shingle
    * sets): sort-merge intersection count, no per-element boxing or hash
    * set — the candidate-verification hot loop of MinHash LSH. */
@@ -147,6 +181,17 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.functions.SketchCodegen.rollingHash($a, 0)")
   override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(child = c)
   override def prettyName: String = "rolling_hash64"
+}
+
+/** shingle_hash64(tokens: array<string>, n) → sorted distinct array<long> */
+case class ShingleHash64(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(arr: Any): Any =
+    SketchCodegen.shingleHashes(arr.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SketchCodegen.shingleHashes($a, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHash64 = copy(child = c)
+  override def prettyName: String = "shingle_hash64"
 }
 
 /** jaccard_long(a: array<long>, b: array<long>) → double (exact set Jaccard) */
@@ -209,4 +254,6 @@ object sketch {
     GraftShim.column(RollingHash64(GraftShim.expression(tokens)))
   def jaccard_long(a: Column, b: Column): Column =
     GraftShim.column(JaccardLong(GraftShim.expression(a), GraftShim.expression(b)))
+  def shingle_hash64(tokens: Column, n: Int): Column =
+    GraftShim.column(ShingleHash64(GraftShim.expression(tokens), n))
 }

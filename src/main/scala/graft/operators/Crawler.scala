@@ -343,6 +343,7 @@ object Crawler {
               coalesce(col("inj_cnt"), lit(0L))).as("cnt"))
           graft.functions.SeenSketch.addAll(sketch, entries.select("url"), "url", nInj)
           seenSize += nInj
+          frontierSize += nInj // keep the broadcast-gate bound exact
         }
       }
 
@@ -393,7 +394,12 @@ object Crawler {
       // rows never shuffle — FPs are re-checked exactly by the equi-join),
       // and a shuffle-hash join finishes, so neither the driver nor any
       // executor ever holds the whole dispatched set.
-      val nDisp = dispatched.count() // cheap: dispatched is checkpointed
+      // dispatched ⊆ frontier, so when the whole frontier is under the
+      // limit the count job is unnecessary (saves one fixed-cost job in
+      // the common small-round case)
+      val nDisp =
+        if (frontierSize <= cfg.broadcastRowLimit) frontierSize
+        else dispatched.count() // cheap: dispatched is checkpointed
       val docsDf = docs.toDF()
       val (fetched, missing) =
         if (nDisp <= cfg.broadcastRowLimit) {

@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Word n-gram shingles of a text column, as array<string>. */
+  /** Word n-gram shingles of a text column, as array<string>.
+   * NOTE: this HOF form is the readable/debuggable variant — lambda HOFs
+   * are interpreted (no whole-stage codegen) and re-evaluate `text`'s
+   * tokenizer per element; every hot path below uses the one-pass hashed
+   * form [[graft.functions.sketch.shingle_hash64]] instead. */
   def shingles(text: Column, n: Int): Column = {
     val toks = gf.tokenize(text)
     // slide over token indices: shingle i = tokens[i..i+n-1] joined
@@ -33,6 +37,12 @@ object Dedup {
           array_join(slice(toks, i + 1, lit(n)), " "))),
       s => s.isNotNull)
   }
+
+  /** Distinct hashed n-gram shingle set — the hot-path form: tokenizer
+   * runs once per row, the window hashing is one codegen'd pass, and all
+   * downstream set math (minhash, Jaccard) runs on longs. */
+  def hashedShingles(text: Column, n: Int): Column =
+    sketch.shingle_hash64(gf.tokenize(text), n)
 
   /** Exact dedup: keep min(id) per identical normalized text. */
   def exact(df: DataFrame, id: String, text: String): DataFrame =
@@ -57,7 +67,7 @@ object Dedup {
     // checkpoint) so banding and verification share one shingling pass.
     val withSig = df.select(
       col(id).as("doc"),
-      sketch.hash64_array(array_distinct(shingles(col(text), n))).as("hs"))
+      hashedShingles(col(text), n).as("hs"))
       .withColumn("sig", sketch.minhash_sig(col("hs"), k))
       .localCheckpoint(true) // eager: banding + verification both read it
 
@@ -110,17 +120,16 @@ object Dedup {
   }
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold (baseline / oracle path;
-   * quadratic — small inputs only). */
+   * quadratic — small inputs only). Set math over hashed shingles:
+   * identical to the string-set Jaccard up to 64-bit collisions. */
   def jaccardBrute(df: DataFrame, id: String, text: String,
                    n: Int = 3, threshold: Double = 0.15): DataFrame = {
-    val sets = df.select(col(id).as("doc"),
-      array_distinct(shingles(col(text), n)).as("sh"))
-    val a = sets.select(col("doc").as("id_a"), col("sh").as("sh_a"))
-    val b = sets.select(col("doc").as("id_b"), col("sh").as("sh_b"))
+    val sets = df.select(col(id).as("doc"), hashedShingles(col(text), n).as("hs"))
+      .localCheckpoint(true) // both crossJoin sides read it
+    val a = sets.select(col("doc").as("id_a"), col("hs").as("hs_a"))
+    val b = sets.select(col("doc").as("id_b"), col("hs").as("hs_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .withColumn("jaccard", sketch.jaccard_long(col("hs_a"), col("hs_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

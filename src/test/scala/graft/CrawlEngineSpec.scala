@@ -229,6 +229,17 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(r1.toSeq == viaStore.map(r => (r.getString(0), r.getDouble(1))).toSeq)
   }
 
+  test("size-gated fetch join: bloom-pruned shuffle-hash path equals the broadcast path") {
+    // broadcastRowLimit = 0 forces every round onto the at-scale join
+    // strategy (bloom scan-prune + shuffle-hash); the schedule must be
+    // IDENTICAL to the broadcast plan's (same oracle)
+    val root = Files.createTempDirectory("graft-crawl-shj").toString
+    val s = runEngine(root, cfgUsed = cfg.copy(broadcastRowLimit = 0))
+    assert(engineSchedule(root, s.rounds - 1) ==
+      oracleResult.schedule.map(l => (l.round, l.url, l.status)))
+    assert(engineSeen(root, s.rounds - 1) == oracleResult.seen.toSet)
+  }
+
   test("output is invariant to shuffle partitioning (salt-/parallelism-independence)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val rootA = Files.createTempDirectory("graft-crawl-p3").toString
