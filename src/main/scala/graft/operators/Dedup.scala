@@ -96,7 +96,15 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: exact for hamming ≤ tables-1 by pigeonhole
-   * over `tables` 16-bit chunks of the 64-bit fingerprint. */
+   * over `tables` 16-bit chunks of the 64-bit fingerprint.
+   *
+   * Skew caveat: on a corpus whose documents share one vocabulary
+   * distribution, simhash values cluster and some chunk buckets go
+   * quadratic (the candidate join is the dominant cost — exactness
+   * requires examining every colliding pair). For such corpora MinHash
+   * over shingles (content sets, not frequency votes) separates far
+   * better — it is the primary near-dup path here; simhash is kept for
+   * its hamming-distance semantics. */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3, tables: Int = 4): DataFrame = {
     require(64 % tables == 0 && maxHamming < tables)
@@ -115,8 +123,11 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup shuffle: (id_a,id_b) determines hamming, so
+      // the order is semantically free, and far-apart pairs (the bulk of
+      // correlated-chunk collisions) never enter the distinct exchange
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold (baseline / oracle path;
