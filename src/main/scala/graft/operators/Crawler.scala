@@ -597,7 +597,10 @@ object Crawler {
       val nFailed = n("failed") + n("skipped_robots") + n("quarantined") + timeoutExhausted
       val nCompleted = n("ok") + n("ok_non_html")
       val nRequeued = n("timeout") - timeoutExhausted
-      frontierSize = newFrontier.count()
+      // no count job: dispatchSelect PARTITIONS the frontier (dispatched ∪
+      // deferred, disjoint), so the new size is pure arithmetic — the
+      // commit-time write is the only action that touches newFrontier
+      frontierSize = frontierSize - nDispatched + addsCount
       seenSize = seenSize + admittedCount
       val rs = RoundStats(round, nDispatched, nCompleted, nFailed,
         nRequeued, addsCount, frontierSize, seenSize)

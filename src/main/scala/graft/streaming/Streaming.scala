@@ -42,6 +42,17 @@ object Streaming {
       .select(col("win.start").as("win_start"), col("event_type"),
         col("n"), col("value_milli"))
 
+  /** Streaming URL-seen dedup (D1 in incremental form): first sight of a
+   * canonical URL wins, duplicates are dropped for as long as their event
+   * time is within the watermark horizon of the state (the unbounded
+   * batch-engine seen set lives in the snapshot tables; a stream must
+   * bound state — the watermark IS that bound, stated explicitly). */
+  def seenDedup(candidates: DataFrame, urlCol: String, tsCol: String,
+                watermark: String = "1 hour"): DataFrame =
+    candidates
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(urlCol)
+
   /** Per-host politeness scheduling with keyed state: within each host,
    * requests (processed in event-time order per micro-batch) receive
    * fetch_at = max(ts, last_fetch_at + delay). State is one timestamp per

@@ -44,6 +44,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("seenDedup keeps first sight of each URL across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val out = Streaming.seenDedup(in.toDS().toDF("url", "ts"), "url", "ts")
+    val q = out.writeStream.format("memory").queryName("seen")
+      .outputMode("append").start()
+    try {
+      in.addData(("u1", ts(10)), ("u2", ts(11)), ("u1", ts(12)))
+      q.processAllAvailable()
+      in.addData(("u2", ts(13)), ("u3", ts(14)), ("u1", ts(15)))
+      q.processAllAvailable()
+      val got = spark.table("seen").select("url", "ts").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000)).sorted
+      assert(got.toSeq == Seq(("u1", 10L), ("u2", 11L), ("u3", 14L)))
+    } finally q.stop()
+  }
+
   test("windowedCounts matches the batch tumbling-window aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
