@@ -151,6 +151,27 @@ object SparkEntry {
         .groupBy("term", "doc_id").agg(max("weight").as("weight"))
     }),
 
+    // A4 remainder — index-size stats (the reference indexer's heartbeat
+    // reports len(url_index)/len(content_index), gcloud_indexer.py:566-573):
+    // exact distinct terms / indexed docs / posting rows over the same
+    // postings build as q_postings. (The engine-side equivalents:
+    // Crawler.indexStats exact-on-demand, per-round approx deltas in the
+    // round manifests via indexStatsHistory.)
+    "q_index_stats" -> ((s, dir) => {
+      val d = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), gf.tokenize(col("text")).as("ts"))
+        .withColumn("title_ts", slice(col("ts"), 1, 5))
+      val title = d.select(explode(col("title_ts")).as("term"),
+        col("doc_id"), lit(2.0).as("weight"))
+      val body = d.select(explode(col("ts")).as("term"),
+        col("doc_id"), lit(1.0).as("weight"))
+      title.unionByName(body)
+        .groupBy("term", "doc_id").agg(max("weight").as("weight"))
+        .agg(countDistinct(col("term")).as("distinct_terms"),
+          countDistinct(col("doc_id")).as("indexed_docs"),
+          count(lit(1)).as("postings_rows"))
+    }),
+
     // J2 title-field search: postings whose term is in the title token set
     // only (gcloud_indexer.py:83-84), weighted sum, top-10
     "q_search_title" -> ((s, dir) => {
@@ -290,12 +311,16 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 6))
     }),
 
-    // SimHash banded hamming pairs (64-bit custom expression — not
-    // SQL-expressible in the oracle; driver records rows-only)
+    // SimHash hamming ≤ 3 pairs via Manku block-combination tables (64-bit
+    // custom expression — not SQL-expressible in the oracle; driver records
+    // rows-only; exactness is pigeonhole-tested against brute force in
+    // DedupSpec). Hamming 3 of 64 is the standard near-dup radius (Manku
+    // WWW'07); the pre-r3 chunk-bucket form at hamming ≤ 6 went quadratic
+    // on this self-similar corpus.
     "q_dedup_simhash" -> ((s, dir) => {
       operators.Dedup.simhashPairs(
         s.read.parquet(t(dir, "documents")), "doc_id", "text",
-        maxHamming = 6, tables = 8)
+        maxHamming = 3, blocks = 6)
     }),
 
     // embedding near-dup pairs: LSH bucket + exact cosine ≥ 0.95. The raw
@@ -575,6 +600,24 @@ object SparkEntry {
         |)
         |SELECT term, doc_id, CAST(MAX(w) AS DOUBLE) AS weight
         |FROM p GROUP BY term, doc_id""".stripMargin,
+    "q_index_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        |                             x -> x != '') AS ts
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, ts, ts[1:5] AS title_ts FROM toks
+        |), p AS (
+        |  SELECT doc_id, unnest(title_ts) AS term FROM d
+        |  UNION ALL
+        |  SELECT doc_id, unnest(ts) AS term FROM d
+        |), post AS (
+        |  SELECT term, doc_id FROM p GROUP BY term, doc_id
+        |)
+        |SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS distinct_terms,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS indexed_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS postings_rows
+        |FROM post""".stripMargin,
     "q_search_title" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),

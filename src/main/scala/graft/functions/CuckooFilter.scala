@@ -140,15 +140,43 @@ final class CuckooFilter private (val numBuckets: Int, private val slots: Array[
   /** Remove one copy of the key's fingerprint. Returns false if absent.
    * Only delete keys known to have been inserted (standard cuckoo-filter
    * contract; deleting a never-inserted key could erase a colliding one). */
-  def delete(key: String): Boolean = {
-    val fp = fingerprintOf(key)
-    val i1 = bucketOf(key)
-    val ok = removeFrom(i1, fp) || removeFrom(altBucket(i1, fp), fp) || {
-      val i2 = altBucket(i1, fp)
-      val idx = orphanList.indexWhere { case (ob, ofp) => ofp == fp && (ob == i1 || ob == i2) }
+  def delete(key: String): Boolean =
+    deleteFingerprint(bucketOf(key), fingerprintOf(key))
+
+  /** Remove one copy of a raw (bucket, fingerprint) pair, probing both of
+   * its legal homes and the orphan list — the shard-delete primitive.
+   * `b` may be EITHER of the pair's two buckets (the XOR pairing is
+   * closed, so {b, alt(b, fp)} is always the key's own pair). */
+  def deleteFingerprint(b: Int, fp: Int): Boolean = {
+    val b2 = altBucket(b, fp)
+    val ok = removeFrom(b, fp) || removeFrom(b2, fp) || {
+      val idx = orphanList.indexWhere { case (ob, ofp) => ofp == fp && (ob == b || ob == b2) }
       if (idx >= 0) { orphanList.remove(idx); true } else false
     }
     if (ok) count -= 1
+    ok
+  }
+
+  /** Remove every fingerprint stored in `other` (a same-layout shard built
+   * from the keys to delete) from this filter — the delete mirror of
+   * [[mergeInPlace]]. Each shard slot holds its key's fingerprint in one
+   * of the key's two legal buckets, which is exactly what
+   * [[deleteFingerprint]] needs. Returns false if any fingerprint was
+   * absent (deleting a never-inserted key — caller should rebuild). */
+  def deleteAllFrom(other: CuckooFilter): Boolean = {
+    require(other.numBuckets == numBuckets, "cuckoo shards must be same-sized")
+    var b = 0
+    var ok = true
+    while (b < other.numBuckets) {
+      var s = 0
+      while (s < SlotsPerBucket) {
+        val fp = other.slot(b, s)
+        if (fp != 0) ok &= deleteFingerprint(b, fp)
+        s += 1
+      }
+      b += 1
+    }
+    other.orphanList.foreach { case (ob, ofp) => ok &= deleteFingerprint(ob, ofp) }
     ok
   }
 

@@ -93,23 +93,39 @@ object SeenSketch {
     case _ => new BloomSeen(BloomFilter.create(capacity, 0.01), capacity, 0L)
   }
 
-  /** kind byte + saturation byte + payload, so a snapshot blob
-   * self-describes AND a saturated sketch stays saturated across a
+  /** Outer-encoding magic + version ("GSK" + version byte). Version 2 =
+   * kind byte + saturation byte + payload. Bump on ANY layout change: a
+   * pre-versioning blob deserialized at the wrong offset yields garbage
+   * capacity/count values with no error, which is strictly worse than
+   * failing fast. Old snapshots are NOT supported — resume from them
+   * rebuilds the sketch from the seen table instead (Crawler's
+   * loadBlob(...).map(deserialize).getOrElse(build) path does this if the
+   * caller catches; run() fails fast with this message by design). */
+  private val Magic: Array[Byte] = Array('G', 'S', 'K', 2)
+
+  /** magic/version + kind byte + saturation byte + payload, so a snapshot
+   * blob self-describes AND a saturated sketch stays saturated across a
    * serialize/deserialize round-trip (a reloaded saturated sketch must not
    * be re-trusted as an admission prefilter). */
   def serialize(s: SeenSketch): Array[Byte] = {
     val payload = s.serialize
-    val out = new Array[Byte](payload.length + 2)
-    out(0) = if (s.kind == "cuckoo") 1 else 0
-    out(1) = if (s.saturated) 1 else 0
-    System.arraycopy(payload, 0, out, 2, payload.length)
+    val out = new Array[Byte](payload.length + 6)
+    System.arraycopy(Magic, 0, out, 0, 4)
+    out(4) = if (s.kind == "cuckoo") 1 else 0
+    out(5) = if (s.saturated) 1 else 0
+    System.arraycopy(payload, 0, out, 6, payload.length)
     out
   }
 
   def deserialize(bytes: Array[Byte]): SeenSketch = {
-    val payload = java.util.Arrays.copyOfRange(bytes, 2, bytes.length)
-    val sat = bytes(1) == 1
-    if (bytes(0) == 1) {
+    require(bytes.length > 6 && bytes(0) == 'G' && bytes(1) == 'S' &&
+      bytes(2) == 'K' && bytes(3) == Magic(3),
+      "unsupported seen_sketch blob (missing/old GSK version header): " +
+        "snapshots from pre-v2 builds are not readable — delete the blob " +
+        "to force a rebuild from the seen table, or re-crawl")
+    val payload = java.util.Arrays.copyOfRange(bytes, 6, bytes.length)
+    val sat = bytes(5) == 1
+    if (bytes(4) == 1) {
       val c = new CuckooSeen(CuckooFilter.deserialize(payload))
       if (sat) c.markSaturated()
       c
@@ -158,18 +174,54 @@ object SeenSketch {
         !c.saturated
     }
 
-  /** Shard-build cuckoo filters per partition (layout-compatible with
-   * `into`) and fold them into `into` on the driver. */
-  private def mergeCuckooShards(into: CuckooSeen, urls: DataFrame, column: String): Unit = {
+  /** Distributed delete (the reset-failures "forget" flow at scale):
+   * shard-build a same-layout cuckoo filter from the URLs to remove —
+   * per-partition, executor-side — and subtract each shard from `sketch`
+   * on the driver (one shard in memory at a time). The exact mirror of
+   * [[addAll]]; retires the last per-row driver loop the engine had.
+   * Returns false when unsupported (Bloom — not deletable) or when any
+   * entry was absent (caller should rebuild from the shrunken seen set). */
+  def deleteAll(sketch: SeenSketch, urls: DataFrame, column: String): Boolean =
+    sketch match {
+      case c: CuckooSeen =>
+        val shards = cuckooShards(urls, column, c.filter.numBuckets)
+        var ok = true
+        while (shards.hasNext)
+          ok &= c.filter.deleteAllFrom(CuckooFilter.deserialize(shards.next()))
+        ok
+      case _ => false
+    }
+
+  /** Executor-side same-layout cuckoo shards over a URL column, streamed
+   * to the driver one blob at a time. Input is coalesced to
+   * [[MaxCuckooShards]] partitions first — each shard is a full twin
+   * layout of the main filter, so unbounded partition counts would ship
+   * O(partitions × filter_size) bytes for what is a small delta. */
+  private def cuckooShards(urls: DataFrame, column: String, nb: Int): Iterator[Array[Byte]] = {
     val spark = urls.sparkSession
     import spark.implicits._
-    val nb = into.filter.numBuckets
-    val shards = urls.select(column).as[String].mapPartitions { it =>
+    import scala.jdk.CollectionConverters._
+    urls.select(column).coalesce(MaxCuckooShards).as[String].mapPartitions { it =>
       val f = CuckooFilter.createWithBuckets(nb)
       it.foreach(f.insert)
       // empty shards carry no information — skip the blob
       if (f.cardinality > 0) Iterator.single(f.serialize) else Iterator.empty
-    }.collect()
-    shards.foreach(b => into.merge(new CuckooSeen(CuckooFilter.deserialize(b))))
+    }.toLocalIterator().asScala
+  }
+
+  /** Ceiling on per-call cuckoo shard count: each shard is a full-capacity
+   * twin layout of the main filter (mergeable layouts must match), so with
+   * P input partitions a round would ship P × filter_size bytes regardless
+   * of how few URLs were added. Per-round adds are small relative to the
+   * filter, so a handful of build tasks is plenty of parallelism. */
+  val MaxCuckooShards = 8
+
+  /** Shard-build cuckoo filters per partition (layout-compatible with
+   * `into`) and fold them into `into` on the driver — via toLocalIterator,
+   * so the driver holds ONE shard blob at a time, never all of them. */
+  private def mergeCuckooShards(into: CuckooSeen, urls: DataFrame, column: String): Unit = {
+    val shards = cuckooShards(urls, column, into.filter.numBuckets)
+    while (shards.hasNext)
+      into.merge(new CuckooSeen(CuckooFilter.deserialize(shards.next())))
   }
 }

@@ -143,20 +143,21 @@ object Crawler {
     // seen anti-join (D1), sketch-prefiltered when available: sketch-negative
     // candidates skip the join entirely; positives are exactly re-checked,
     // so filter false positives never drop URLs. The probe is a native
-    // codegen expression (SketchContains), computed ONCE per unique URL:
-    // the probed agg output is materialized (lazy local checkpoint), so the
-    // two branches below share a single run of the candidate pipeline.
+    // codegen expression (SketchContains) over the deduped (one-row-per-url)
+    // agg output. The two union branches share the groupBy's shuffle
+    // EXCHANGE (ReusedExchange): the candidate pipeline (canonicalize +
+    // dedup shuffle write) runs once; only the narrow post-exchange work
+    // (final agg + probe + filter) runs per branch. Deliberately NOT
+    // checkpointed — materializing the full probed batch to block storage
+    // on the hot path costs more than re-running the narrow tail, and the
+    // exchange's url hash-partitioning feeds the anti-join shuffle-free on
+    // the candidate side.
     val fresh = seenSketch match {
       case Some(sk) =>
         val bc = spark.sparkContext.broadcast(sk)
-        // EAGER checkpoint: both branches below consume this in the same
-        // downstream job — a lazy checkpoint would race and compute the
-        // candidate pipeline twice (observable as BlockManager
-        // "already exists" warnings); eager materializes exactly once.
         val probed = firstOnly
           .withColumn("maybe_seen_",
             graft.functions.sketch.sketch_contains(col("url"), bc))
-          .localCheckpoint(true)
         probed.where(col("maybe_seen_")).drop("maybe_seen_")
           .join(seen, Seq("url"), "left_anti")
           .unionByName(probed.where(!col("maybe_seen_")).drop("maybe_seen_"))
@@ -171,6 +172,11 @@ object Crawler {
     // (host, salt) — parallel across S buckets — and drops everything past
     // the cap (any row whose true host rank ≤ cap has bucket rank ≤ cap),
     // so phase 2's per-host window sees ≤ S·cap rows per host.
+    // (An uncontended-host bypass — skip ranking for hosts whose whole
+    // batch fits the cap — was measured and REJECTED: the extra per-host
+    // totals aggregation and join exchange re-evaluate the admission tail
+    // and cost more than the window sorts they save, at every parallelism
+    // level.)
     val bucketW = Window.partitionBy(col("host"), col("salt_"))
       .orderBy(col("ord1"), col("ord2"))
     val pruned = eligible
@@ -192,7 +198,8 @@ object Crawler {
    * round's dispatched slice (per-host first `remaining` entries in seq
    * order) and the deferred remainder. `budget` has (host, remaining,
    * allow); hosts absent from it get `defaultRemaining`. Two-phase salted
-   * ranking — see the class doc's skew note.
+   * ranking — see the class doc's skew note. (Same measured-and-rejected
+   * bypass note as admit's cap window.)
    */
   def dispatchSelect(frontier: DataFrame, budget: DataFrame,
                      defaultRemaining: Long): (DataFrame, DataFrame) = {
@@ -226,6 +233,14 @@ object Crawler {
    * per round under `root`. Resumes from the latest committed round when
    * one exists (restore semantics gcloud_master.py:274-318).
    *
+   * INVARIANT — `docs.doc_id` must be unique. The fetch join dispatches
+   * one result row per (frontier url, matching doc); a duplicated doc_id
+   * would duplicate result rows, inflating the arithmetic round counters
+   * (nDispatched, frontierSize — potentially driving the loop guard
+   * negative) and double-indexing the page. Validate untrusted corpora
+   * with [[duplicateDocIds]] before crawling; the engine does not pay a
+   * per-round distinct over the (100 TB) docs table to re-check it.
+   *
    * `sketchThreshold`: seen-set size at which the broadcast sketch
    * prefilter engages in the admission anti-join (it is MAINTAINED from
    * round 0 — incrementally, O(admitted) per round — and checkpointed with
@@ -246,6 +261,12 @@ object Crawler {
     val emptyFailed = Seq.empty[(String, String, Int, Int, Long, String)]
       .toDF("url", "host", "depth", "retry", "seq", "error")
     val emptyQuar = Seq.empty[String].toDF("host")
+    // `failed` is a HYBRID table like `seen`: the first commit of a fresh
+    // crawl replaces it (the base), every later round APPENDS only that
+    // round's terminal failures — the accumulated failure set is never
+    // rewritten (it only shrinks at reset compactions). failedBase tracks
+    // whether the base commit exists yet.
+    var failedBase = snap.latestRound.isDefined
 
     // ---- restore or seed (gcloud_master.py:274-318 / :533-540) ----
     // `seen` is a HYBRID table: O(admitted) appended per round (a 10^10
@@ -255,7 +276,8 @@ object Crawler {
     // seed URLs not yet covered by any committed seen append (first round
     // of a fresh crawl appends them together with its admitted links)
     var pendingSeen = emptySeen
-    var (round, nextSeq, frontier, seen, hostCounts, hostSched, failedTbl, quarTbl) =
+    var pendingSeenRows = 0L
+    var (round, nextSeq, frontier, seen, hostCounts, hostSched, quarTbl) =
       snap.latestRound match {
         case Some(r) =>
           val m = snap.meta(r)
@@ -269,7 +291,6 @@ object Crawler {
             snap.loadHybrid(spark, "seen", r),
             snap.loadReplaced(spark, "host_counts", r),
             snap.loadReplaced(spark, "host_sched", r),
-            snap.loadReplaced(spark, "failed", r),
             snap.loadReplaced(spark, "quarantined", r))
         case None =>
           val seedCand = seedUrls.zipWithIndex.toDF("url", "idx")
@@ -288,7 +309,8 @@ object Crawler {
           sketch = graft.functions.SeenSketch.empty(cfg.seenSketch, cfg.sketchCapacity)
           graft.functions.SeenSketch.addAll(sketch, s0, "url", nSeed)
           pendingSeen = s0
-          (0, nSeed, f0, s0, c0, emptySched, emptyFailed, emptyQuar)
+          pendingSeenRows = nSeed
+          (0, nSeed, f0, s0, c0, emptySched, emptyQuar)
       }
 
     // tiny per-host table; joined as the LEFT of outer joins, so no explicit
@@ -319,6 +341,7 @@ object Crawler {
       // per-host cap) and appended at the back of the queue before this
       // round's dispatch — the reference's add-seeds-to-running-crawl flow.
       val injectedSeeds = seedFeed(round)
+      var hostCountsDirty = false // host_counts is carried unless this round admitted
       if (injectedSeeds.nonEmpty) {
         val cand = injectedSeeds.zipWithIndex.toDF("url", "idx")
           .select(col("url"), gf.url_policy_host(col("url")).as("host"),
@@ -333,10 +356,12 @@ object Crawler {
           .localCheckpoint(true)
         val nInj = entries.count()
         if (nInj > 0) {
+          hostCountsDirty = true
           nextSeq += nInj
           frontier = frontier.unionByName(entries)
           seen = seen.unionByName(entries.select("url"))
           pendingSeen = pendingSeen.unionByName(entries.select("url"))
+          pendingSeenRows += nInj
           val injCounts = entries.groupBy("host").agg(count(lit(1)).as("inj_cnt"))
           hostCounts = hostCounts.join(injCounts, Seq("host"), "full_outer")
             .select(col("host"), (coalesce(col("cnt"), lit(0L)) +
@@ -507,9 +532,9 @@ object Crawler {
         rebuildCap *= 4
       }
 
-      // terminal failures accumulate in the checkpointed failed table
-      // (CrawlState.failed, gcloud_master.py:197-207) — the reset-failures
-      // flow (D4) re-opens them.
+      // terminal failures of THIS round (CrawlState.failed,
+      // gcloud_master.py:197-207) — appended to the hybrid failed table;
+      // the reset-failures flow (D4) re-opens them.
       val failedNow = results
         .where(col("status").isin("failed", "skipped_robots", "quarantined"))
         .unionByName(timeoutFail)
@@ -518,7 +543,6 @@ object Crawler {
             .when(col("status") === "skipped_robots", lit("robots_disallowed"))
             .when(col("status") === "quarantined", lit("quarantined_host"))
             .otherwise(lit("retries_exhausted")).as("error"))
-      val newFailed = failedTbl.unionByName(failedNow)
       // hosts whose URLs exhausted their retries this round join the
       // quarantine (the reference's connection-failure path,
       // gcloud_crawler.py:432,452) — effective from the NEXT round
@@ -602,30 +626,79 @@ object Crawler {
       // commit-time write is the only action that touches newFrontier
       frontierSize = frontierSize - nDispatched + addsCount
       seenSize = seenSize + admittedCount
+      if (admittedCount > 0) hostCountsDirty = true
       val rs = RoundStats(round, nDispatched, nCompleted, nFailed,
         nRequeued, addsCount, frontierSize, seenSize)
       stats += rs
+      val nOkHtml = n("ok")
 
       // ---- commit round snapshot (T6): atomic manifest = round boundary.
       // frontier: replaced, physically host-hash bucketed (the rule's
-      // `bucket(N, host_hash)` partitioned priority frontier). seen:
-      // APPEND of this round's admitted URLs only — O(adds), not O(seen).
+      // `bucket(N, host_hash)` partitioned priority frontier). Per-round
+      // write cost tracks what CHANGED, not accumulated table sizes:
+      // `seen`/`failed` APPEND this round's delta only, empty appends are
+      // skipped entirely, and unchanged replaced tables (host_counts with
+      // no admissions, quarantined with no new exhaustions) are CARRIED —
+      // the manifest points at the round that last wrote them, no data
+      // moves. This is the round's fixed-cost floor at sandbox scale and
+      // the write-amplification bound at 100 TB.
+      val replacedTables = scala.collection.mutable.Map[String, DataFrame](
+        "frontier" -> newFrontier, "host_sched" -> newHostSched)
+      val carriedTables = scala.collection.mutable.Map.empty[String, Int]
+      if (hostCountsDirty || !failedBase) replacedTables += "host_counts" -> newHostCounts
+      else carriedTables += "host_counts" -> (round - 1)
+      if (timeoutExhausted > 0 || !failedBase) replacedTables += "quarantined" -> newQuar
+      else carriedTables += "quarantined" -> (round - 1)
+
+      val appendedTables = scala.collection.mutable.Map[String, DataFrame](
+        "counters" -> Seq(rs).toDS().toDF().coalesce(1))
+      if (!failedBase) replacedTables += "failed" -> failedNow
+      else if (nFailed > 0) appendedTables += "failed" -> failedNow
+      if (admittedCount > 0 || pendingSeenRows > 0)
+        appendedTables += "seen" -> pendingSeen.unionByName(admitted.select("url"))
+      if (nDispatched > 0) {
+        appendedTables += "fetch_log" -> fetchLog
+        appendedTables += "worker_stats" -> workerStats
+      }
+      if (nCompleted > 0) appendedTables += "pages" -> pages
+      // index-size stats (A4, gcloud_indexer.py:566-573): approx distinct
+      // terms/docs of this round's postings DELTA, observed during the
+      // postings write itself (zero extra pass) and recorded in the same
+      // atomic manifest; Crawler.indexStats gives the exact cumulative
+      // numbers on demand.
+      val idxObs = if (nOkHtml > 0) Some(new org.apache.spark.sql.Observation()) else None
+      if (nOkHtml > 0) {
+        appendedTables += "doc_store" -> docStore
+        appendedTables += "postings" -> postingsRows.observe(idxObs.get,
+          approx_count_distinct(col("term")).as("terms"),
+          approx_count_distinct(col("url")).as("docs"),
+          count(lit(1)).as("postings"))
+      }
       snap.commit(spark, round,
-        replaced = Map(
-          "frontier" -> newFrontier,
-          "host_counts" -> newHostCounts, "host_sched" -> newHostSched,
-          "failed" -> newFailed, "quarantined" -> newQuar),
-        appended = Map(
-          "seen" -> pendingSeen.unionByName(admitted.select("url")),
-          "fetch_log" -> fetchLog, "doc_store" -> docStore,
-          "pages" -> pages, "postings" -> postingsRows,
-          "worker_stats" -> workerStats,
-          "counters" -> Seq(rs).toDS().toDF()),
-        meta = Map("nextSeq" -> nextSeq.toString),
+        replaced = replacedTables.toMap,
+        appended = appendedTables.toMap,
+        meta = Map("nextSeq" -> nextSeq.toString,
+          "frontierSize" -> frontierSize.toString),
         blobs = Map("seen_sketch" -> graft.functions.SeenSketch.serialize(sketch)),
         bucketed = Map(
-          "frontier" -> pmod(xxhash64(col("host")), lit(graft.plans.SnapshotTable.Buckets))))
+          "frontier" -> pmod(xxhash64(col("host")), lit(graft.plans.SnapshotTable.Buckets))),
+        carried = carriedTables.toMap,
+        metaLate = () => idxObs.map { o =>
+          // the observed write finished before metaLate runs, so get()
+          // returns promptly; a bounded wait guards the (unexpected) case
+          // of the metrics listener never firing
+          try {
+            val m = scala.concurrent.Await.result(
+              scala.concurrent.Future(o.get)(scala.concurrent.ExecutionContext.global),
+              scala.concurrent.duration.Duration(60, "s"))
+            Map("idx_new_terms_approx" -> m("terms").toString,
+              "idx_new_docs_approx" -> m("docs").toString,
+              "idx_new_postings" -> m("postings").toString)
+          } catch { case _: java.util.concurrent.TimeoutException => Map.empty[String, String] }
+        }.getOrElse(Map.empty))
       pendingSeen = emptySeen
+      pendingSeenRows = 0L
+      failedBase = true
 
       // reload from the committed snapshot: truncates lineage and makes the
       // next round read exactly what a resume would read
@@ -633,12 +706,18 @@ object Crawler {
       seen = snap.loadHybrid(spark, "seen", round)
       hostCounts = snap.loadReplaced(spark, "host_counts", round)
       hostSched = snap.loadReplaced(spark, "host_sched", round)
-      failedTbl = snap.loadReplaced(spark, "failed", round)
       quarTbl = snap.loadReplaced(spark, "quarantined", round)
       round += 1
     }
     CrawlSummary(round, stats.toSeq)
   }
+
+  /** doc_id-uniqueness validation for untrusted corpora (see run()'s
+   * invariant note): number of doc_ids appearing more than once. One
+   * hash-aggregation pass; run it once at ingestion, not per round. */
+  def duplicateDocIds(docs: Dataset[Doc]): Long =
+    docs.toDF().groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).count()
 
   /** Status projection (§3.3, cli.py:98-124 / GET /status): the per-round
    * counter rows from the committed snapshots — queue/completed/failed/
@@ -648,6 +727,84 @@ object Crawler {
     val r = snap.latestRound.getOrElse(
       throw new IllegalStateException("no crawl state"))
     snap.loadAppended(spark, "counters", r).orderBy("round")
+  }
+
+  /** Exact index-size stats on demand (A4 remainder; the reference's
+   * indexer heartbeat reports len(url_index)/len(content_index),
+   * gcloud_indexer.py:566-573): distinct terms, indexed docs, and posting
+   * rows of the PERSISTED cumulative index. Exact countDistinct at call
+   * time — the on-demand analog of the reference's O(1) dict-size reads;
+   * the per-round manifests additionally carry approx per-round deltas
+   * ([[indexStatsHistory]]) observed for free during each postings write. */
+  def indexStats(spark: SparkSession, root: String): DataFrame = {
+    val snap = new SnapshotTable(root)
+    val r = snap.latestRound.getOrElse(
+      throw new IllegalStateException("no crawl state"))
+    snap.loadAppended(spark, "postings", r).agg(
+      countDistinct(col("term")).as("distinct_terms"),
+      countDistinct(col("url")).as("indexed_docs"),
+      count(lit(1)).as("postings_rows"))
+  }
+
+  /** Per-round index growth (round, new_terms_approx, new_docs_approx,
+   * new_postings) read from the round manifests — the persisted form of
+   * the reference's heartbeat log lines. Rounds that indexed nothing
+   * carry no stats and are omitted. */
+  def indexStatsHistory(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val snap = new SnapshotTable(root)
+    val r = snap.latestRound.getOrElse(
+      throw new IllegalStateException("no crawl state"))
+    (0 to r).flatMap { round =>
+      val m = snap.meta(round) // committed rounds are contiguous
+      for {
+        t <- m.get("idx_new_terms_approx")
+        d <- m.get("idx_new_docs_approx")
+        p <- m.get("idx_new_postings")
+      } yield (round, t.toLong, d.toLong, p.toLong)
+    }.toDF("round", "new_terms_approx", "new_docs_approx", "new_postings")
+  }
+
+  /** Full /status projection (templates/app.py:557-601, gcloud_master.py:
+   * 197-207): one row with is_running plus the latest counters.
+   * is_running = the committed frontier is non-empty (a BSP crawl is
+   * "running" iff work remains; the manifest's frontierSize meta is
+   * stamped at commit, so this reads no table). */
+  def statusSummary(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val snap = new SnapshotTable(root)
+    val r = snap.latestRound.getOrElse(
+      throw new IllegalStateException("no crawl state"))
+    val m = snap.meta(r)
+    val running = m.get("frontierSize").exists(_.toLong > 0)
+    val last = status(spark, root).orderBy(desc("round")).limit(1)
+      .collect().headOption
+    Seq((running, r,
+      last.map(_.getAs[Long]("frontierSize")).getOrElse(0L),
+      last.map(_.getAs[Long]("seenSize")).getOrElse(0L)))
+      .toDF("is_running", "round", "frontier_size", "seen_size")
+  }
+
+  /** The reference's `in_progress` list (gcloud_master.py:197-207): URLs
+   * dispatched but not yet resolved. At a committed BSP round boundary
+   * this is empty BY CONSTRUCTION — every dispatched URL resolves within
+   * its round before the commit — so the projection exists for API parity
+   * and always returns zero rows (with the reference's schema). */
+  def inProgress(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Long)].toDF("url", "host", "seq")
+  }
+
+  /** The reference's `recently_added` tail (templates/app.py:572-601):
+   * the n most recently admitted still-queued URLs — the frontier's top
+   * seq values (seq is the global admission order). */
+  def recentlyAdded(spark: SparkSession, root: String, n: Int = 5): DataFrame = {
+    val snap = new SnapshotTable(root)
+    val r = snap.latestRound.getOrElse(
+      throw new IllegalStateException("no crawl state"))
+    snap.loadReplaced(spark, "frontier", r)
+      .orderBy(desc("seq")).limit(n)
+      .select("url", "host", "depth", "seq")
   }
 
   /** Raw-page point lookup (J6, /get_html — templates/app.py:807-904):
@@ -751,8 +908,7 @@ object Crawler {
     val frontier = snap.loadReplaced(spark, "frontier", r)
     val seen = snap.loadHybrid(spark, "seen", r)
     val hostCounts = snap.loadReplaced(spark, "host_counts", r)
-    val hostSched = snap.loadReplaced(spark, "host_sched", r)
-    val failedTbl = snap.loadReplaced(spark, "failed", r)
+    val failedTbl = snap.loadHybrid(spark, "failed", r)
       .groupBy("url")
       .agg(min(struct(col("seq"), col("host"), col("depth"))).as("m"))
       .select(col("url"), col("m.host").as("host"), col("m.depth").as("depth"),
@@ -782,13 +938,16 @@ object Crawler {
       } else {
         val shrunk = seen.join(failedTbl.select("url"), Seq("url"), "left_anti")
           .localCheckpoint(true)
-        if (sketch.kind == "cuckoo" && n <= 1000000) {
-          // exact per-entry deletes — O(failed), bounded by the failed set
-          // (deletes mutate one shared filter, so they stream through the
-          // driver; past 1M entries a distributed rebuild is cheaper)
-          val it = failedTbl.select("url").as[String].toLocalIterator
-          while (it.hasNext) sketch.delete(it.next())
-        } else {
+        // cuckoo: exact distributed deletes — executor-built shards of the
+        // failed URLs subtracted from the filter driver-side, O(failed)
+        // spread across the cluster (the delete mirror of the addAll
+        // maintenance path; no per-row driver loop). Bloom (not deletable)
+        // or an inconsistent delete (entry missing — the sketch was not in
+        // sync with `seen`) falls back to the 4x-amortized rebuild from
+        // the shrunken seen table.
+        val deleted = graft.functions.SeenSketch.deleteAll(
+          sketch, failedTbl.select("url"), "url")
+        if (!deleted) {
           var cap = math.max(sketch.capacity, cfg.sketchCapacity)
           do {
             sketch = graft.functions.SeenSketch.build(shrunk, "url", sketch.kind, cap)
@@ -812,14 +971,15 @@ object Crawler {
       replaced = Map(
         "frontier" -> newFrontier,
         "host_counts" -> newHostCounts,
-        "host_sched" -> hostSched, "failed" -> emptyFailed,
+        "failed" -> emptyFailed, // replace = the hybrid chain's compaction point
         "quarantined" -> Seq.empty[String].toDF("host")) ++
         (if (forget) Map("seen" -> newSeen) else Map.empty),
       appended = Map.empty,
       meta = Map("nextSeq" -> (nextSeq + (if (forget) 0L else reopened)).toString),
       blobs = Map("seen_sketch" -> graft.functions.SeenSketch.serialize(sketch)),
       bucketed = Map("frontier" ->
-        pmod(xxhash64(col("host")), lit(graft.plans.SnapshotTable.Buckets))))
+        pmod(xxhash64(col("host")), lit(graft.plans.SnapshotTable.Buckets))),
+      carried = Map("host_sched" -> r)) // dispatch history unchanged by a reset
     reopened
   }
 }

@@ -63,8 +63,8 @@ object Dedup {
     // shingle ONCE into 64-bit hashes and drop the strings immediately:
     // signatures, banding, and exact verification all run over the hashed
     // sets (jaccard over 64-bit hashed distinct sets == jaccard over the
-    // string sets up to a ~1e-15 collision). Materialized (lazy local
-    // checkpoint) so banding and verification share one shingling pass.
+    // string sets up to a ~1e-15 collision). Materialized via an EAGER
+    // local checkpoint so banding and verification share one shingling pass.
     val withSig = df.select(
       col(id).as("doc"),
       hashedShingles(col(text), n).as("hs"))
@@ -95,37 +95,59 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash near-dup pairs: exact for hamming ≤ tables-1 by pigeonhole
-   * over `tables` 16-bit chunks of the 64-bit fingerprint.
+  /** SimHash near-dup pairs, exact for hamming ≤ maxHamming, via
+   * Manku-style block-combination tables (Manku/Jain/Das Sarma,
+   * "Detecting Near-Duplicates for Web Crawling", WWW 2007 — public
+   * algorithm): split the 64-bit fingerprint into `blocks` nearly-equal
+   * blocks; for every combination of m = blocks − maxHamming blocks, one
+   * table keys each doc on the CONCATENATION of those blocks. Any pair
+   * within hamming ≤ maxHamming has its errors in ≤ maxHamming blocks, so
+   * some m clean blocks exist and the pair collides in that table —
+   * exactness by pigeonhole, same as chunk-equality buckets, but on keys
+   * m× wider (defaults: C(6,3) = 20 tables keyed on ~32 bits instead of 4
+   * tables on 16 bits).
    *
-   * Skew caveat: on a corpus whose documents share one vocabulary
-   * distribution, simhash values cluster and some chunk buckets go
-   * quadratic (the candidate join is the dominant cost — exactness
-   * requires examining every colliding pair). For such corpora MinHash
-   * over shingles (content sets, not frequency votes) separates far
-   * better — it is the primary near-dup path here; simhash is kept for
-   * its hamming-distance semantics. */
+   * Why this shape at scale: on a shared-vocabulary corpus (the
+   * reference's own field data is one host + one template) fingerprints
+   * cluster, and 16-bit chunk buckets collide FAR-apart docs by the
+   * million — the bucket join goes quadratic. A ~32-bit key makes a
+   * chance (non-near-dup) collision ~2^16× rarer per table, so bucket
+   * population tracks the true near-dup density; the price is a fixed
+   * 20×-vs-4× fan-out of narrow (tbl, key, doc) rows through the shuffle,
+   * Manku's trade. For corpora beyond ~10^8 docs raise `blocks` (e.g.
+   * blocks = 8 with maxHamming = 3 → C(8,5) = 56 tables on ~40-bit keys). */
   def simhashPairs(df: DataFrame, id: String, text: String,
-                   maxHamming: Int = 3, tables: Int = 4): DataFrame = {
-    require(64 % tables == 0 && maxHamming < tables)
-    val width = 64 / tables
+                   maxHamming: Int = 3, blocks: Int = 6): DataFrame = {
+    require(blocks > maxHamming && blocks <= 16,
+      s"need maxHamming < blocks <= 16, got maxHamming=$maxHamming blocks=$blocks")
+    val m = blocks - maxHamming
+    val combos = (0 until blocks).combinations(m).toSeq
+    require(combos.size <= 128,
+      s"C($blocks, $m) = ${combos.size} tables — pick parameters with <= 128")
+    // block i covers widths(i) bits starting at offsets(i); widths differ
+    // by at most 1 so no block is an easier collision target than another
+    val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(sim: Column, i: Int): Column =
+      shiftrightunsigned(sim, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val keys = combos.map(s =>
+      s.foldLeft(lit(0L))((acc, b) => shiftleft(acc, widths(b)).bitwiseOR(block(col("sim"), b))))
+
     val fp = df.select(col(id).as("doc"),
       sketch.simhash64(gf.tokenize(col(text))).as("sim"))
-    val chunked = fp.select(col("doc"), col("sim"),
-      posexplode(array((0 until tables).map(t =>
-        shiftrightunsigned(col("sim"), t * width)
-          .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("tbl", "chunk")))
-    val l = chunked.select(col("tbl"), col("chunk"),
+    val keyed = fp.select(col("doc"), col("sim"),
+      posexplode(array(keys: _*)).as(Seq("tbl", "key")))
+    val l = keyed.select(col("tbl"), col("key"),
       col("doc").as("id_a"), col("sim").as("sim_a"))
-    val r = chunked.select(col("tbl"), col("chunk"),
+    val r = keyed.select(col("tbl"), col("key"),
       col("doc").as("id_b"), col("sim").as("sim_b"))
-    l.join(r, Seq("tbl", "chunk"))
+    l.join(r, Seq("tbl", "key"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       // filter BEFORE the dedup shuffle: (id_a,id_b) determines hamming, so
-      // the order is semantically free, and far-apart pairs (the bulk of
-      // correlated-chunk collisions) never enter the distinct exchange
+      // the order is semantically free, and chance collisions never enter
+      // the distinct exchange
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -30,8 +30,13 @@ object LogParse {
     val tsStr = when(length(main) > 0, main)
       .when(length(alt) > 0, alt)
     lines
+      // try_to_timestamp: a regex match that is digit-shaped but not a real
+      // timestamp ('[9999-99-99 99:99:99]') must drop the LINE, not crash
+      // the job — under ANSI mode to_timestamp throws on unparseable input,
+      // while the reference try/excepts and skips (templates/app.py:1074-
+      // 1101); the null falls out at the epoch > since predicate.
       .withColumn("epoch",
-        unix_timestamp(to_timestamp(tsStr, "yyyy-MM-dd HH:mm:ss")))
+        unix_timestamp(try_to_timestamp(tsStr, lit("yyyy-MM-dd HH:mm:ss"))))
       .where(col("epoch") > sinceEpoch)
       .orderBy(desc("epoch"), desc(lineCol))
       .limit(limit)

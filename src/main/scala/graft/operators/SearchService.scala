@@ -59,27 +59,62 @@ class SearchService(val root: String) {
     }
   }
 
-  /** Answer every pending request against the crawl's persisted postings.
-   * Returns the number of requests answered. The pending set is
-   * human-sized (it is the interactive query queue), so collecting it to
-   * plan one search per request is the intended scale shape — each search
-   * itself runs distributed over the postings table. */
+  /** Answer every pending request against the crawl's persisted postings,
+   * as ONE join-driven plan per search field (≤ 3 plans total, however
+   * large the backlog): query terms explode per request, join postings
+   * once, scores aggregate per (req_id, url), and a per-request rank
+   * window keeps each request's top k. Scoring/ordering semantics are
+   * identical to [[SearchIndex.search]] / [[Crawler.searchStore]]
+   * (duplicate query terms score twice; ties break url-ascending; snippet
+   * joined from doc_store for the k result rows only). Returns the number
+   * of requests processed; a request whose query matches nothing produces
+   * no response rows and remains pending, exactly as before. */
   def processPending(spark: SparkSession, crawlRoot: String): Long = {
-    val todo = pending(spark).collect()
-    if (todo.isEmpty) return 0L
-    val answers = todo.toSeq.map { r =>
-      val reqId = r.getAs[String]("req_id")
-      Crawler.searchStore(spark, crawlRoot, r.getAs[String]("query"),
-        r.getAs[String]("field"), r.getAs[Int]("k"))
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(desc("score"), asc("url"))).cast("long"))
-        .select(lit(reqId).as("req_id"), col("rank"), col("url"),
-          col("score"), col("title"), col("snippet"))
+    import spark.implicits._
+    import graft.functions.gf
+    val todo = pending(spark).localCheckpoint(true) // human-sized; reused below
+    val nTodo = todo.count()
+    if (nTodo == 0) return 0L
+    val snap = new graft.plans.SnapshotTable(crawlRoot)
+    val r = snap.latestRound.getOrElse(
+      throw new IllegalStateException("no crawl state"))
+    val postings = snap.loadAppended(spark, "postings", r)
+      .select("term", "url", "weight", "title")
+
+    def scoredFor(field: String): DataFrame = {
+      val qterms = todo.where(col("field") === field)
+        .select(col("req_id"), explode(gf.tokenize(col("query"))).as("term"))
+      field match {
+        case "url" => // reference semantics: every indexed url, substring hits
+          postings.groupBy("url").agg(first("title").as("title"))
+            .join(broadcast(qterms), col("url").contains(col("term")))
+            .groupBy("req_id", "url")
+            .agg(sum(lit(1.0)).as("score"), first("title").as("title"))
+        case "title" =>
+          postings.join(broadcast(qterms), Seq("term"))
+            .where(array_contains(gf.tokenize(col("title")), col("term")))
+            .groupBy("req_id", "url")
+            .agg(sum("weight").as("score"), first("title").as("title"))
+        case _ =>
+          postings.join(broadcast(qterms), Seq("term"))
+            .groupBy("req_id", "url")
+            .agg(sum("weight").as("score"), first("title").as("title"))
+      }
     }
-    answers.reduce(_ unionByName _)
+    val fields = todo.select("field").distinct().as[String].collect()
+    val scored = fields.map(scoredFor).reduce(_ unionByName _)
+    val perReq = org.apache.spark.sql.expressions.Window
+      .partitionBy("req_id").orderBy(desc("score"), asc("url"))
+    val ranked = scored.withColumn("rank", row_number().over(perReq).cast("long"))
+      .join(broadcast(todo.select("req_id", "k")), Seq("req_id"))
+      .where(col("rank") <= col("k"))
+    val docs = snap.loadAppended(spark, "doc_store", r).select("url", "text")
+    ranked.join(docs, Seq("url"), "left_outer")
+      .withColumn("snippet",
+        concat(substring(coalesce(col("text"), lit("")), 1, 200), lit("...")))
+      .select("req_id", "rank", "url", "score", "title", "snippet")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(nextBatch(respDir))
-    todo.length.toLong
+    nTodo
   }
 
   /** All responses so far. */

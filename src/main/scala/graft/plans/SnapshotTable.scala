@@ -28,12 +28,26 @@ class SnapshotTable(val root: String) {
   private def manifestDir: Path = Paths.get(root, "_manifests")
   private def rid(round: Int): String = f"r$round%05d"
 
+  /**
+   * Commit one round. `carried` names replaced tables whose content is
+   * UNCHANGED since the given earlier round: no data is written — the
+   * manifest records a replace-kind entry pointing at the earlier round's
+   * directory (chains are flattened at commit time, so a table carried for
+   * 100 rounds still resolves in one hop). This is the Iceberg
+   * "re-manifest unchanged data files" move: per-round cost tracks what
+   * CHANGED, not the accumulated table sizes. `metaLate` is evaluated
+   * after the table writes but before the manifest rename — for metadata
+   * only observable once the writes ran (e.g. `Observation` metrics
+   * collected during a write), still inside the atomic commit.
+   */
   def commit(spark: SparkSession, round: Int,
              replaced: Map[String, DataFrame],
              appended: Map[String, DataFrame],
              meta: Map[String, String],
              blobs: Map[String, Array[Byte]] = Map.empty,
-             bucketed: Map[String, org.apache.spark.sql.Column] = Map.empty): Unit = {
+             bucketed: Map[String, org.apache.spark.sql.Column] = Map.empty,
+             carried: Map[String, Int] = Map.empty,
+             metaLate: () => Map[String, String] = () => Map.empty): Unit = {
     Files.createDirectories(manifestDir)
     val all = replaced ++ appended
     all.foreach { case (name, df) =>
@@ -59,10 +73,15 @@ class SnapshotTable(val root: String) {
       Files.createDirectories(dir)
       Files.write(dir.resolve(s"${rid(round)}.bin"), bytes)
     }
-    val tablesJson = all.keys.map(n => s""""$n": "data/$n/${rid(round)}"""").mkString(",")
-    val kindJson = (replaced.keys.map(n => s""""$n": "replace"""") ++
+    val carriedPaths = carried.map { case (name, from) =>
+      name -> tables(from).getOrElse(name, s"data/$name/${rid(from)}")
+    }
+    val tablesJson = (all.keys.map(n => n -> s"data/$n/${rid(round)}") ++ carriedPaths)
+      .map { case (n, p) => s""""$n": "$p"""" }.mkString(",")
+    val kindJson = ((replaced.keys ++ carriedPaths.keys).map(n => s""""$n": "replace"""") ++
       appended.keys.map(n => s""""$n": "append"""")).mkString(",")
-    val metaJson = meta.map { case (k, v) => s""""$k": "$v"""" }.mkString(",")
+    val metaJson = (meta ++ metaLate())
+      .map { case (k, v) => s""""$k": "$v"""" }.mkString(",")
     val json =
       s"""{"round": $round, "meta": {$metaJson}, "kind": {$kindJson}, "tables": {$tablesJson}}"""
     val tmp = manifestDir.resolve(s".${rid(round)}.json.tmp")
@@ -100,6 +119,17 @@ class SnapshotTable(val root: String) {
       .map(m => m.group(1) -> m.group(2)).toMap.removed("kind")
   }
 
+  /** table → root-relative data path recorded in that round's manifest
+   * (carried tables point at an EARLIER round's directory). */
+  def tables(round: Int): Map[String, String] = {
+    val p = manifestDir.resolve(s"${rid(round)}.json")
+    if (!Files.exists(p)) return Map.empty
+    val json = Files.readString(p)
+    val seg = json.substring(json.indexOf("\"tables\""))
+    "\"([^\"]+)\": \"([^\"]*)\"".r.findAllMatchIn(seg)
+      .map(m => m.group(1) -> m.group(2)).toMap.removed("tables")
+  }
+
   /**
    * Hybrid table load (Iceberg-like): the table's state at `round` is the
    * most recent REPLACE commit at or before it, plus every APPEND commit
@@ -116,18 +146,22 @@ class SnapshotTable(val root: String) {
     while (r >= 0 && !done) {
       val k = kinds(r).get(name)
       if (k.isDefined) {
-        dirs += s"$root/data/$name/${rid(r)}"
+        dirs += s"$root/${tables(r).getOrElse(name, s"data/$name/${rid(r)}")}"
         if (k.contains("replace")) done = true
       }
       r -= 1
     }
     require(dirs.nonEmpty, s"table $name has no commits at or before round $round")
-    stripBuckets(spark.read.parquet(dirs.toSeq: _*))
+    stripBuckets(spark.read.parquet(dirs.distinct.toSeq: _*))
   }
 
-  /** Latest version of a replaced table at the given round. */
-  def loadReplaced(spark: SparkSession, name: String, round: Int): DataFrame =
-    stripBuckets(spark.read.parquet(s"$root/data/$name/${rid(round)}"))
+  /** Latest version of a replaced table at the given round — resolved
+   * through the manifest, so carried tables read the round that actually
+   * holds their data. */
+  def loadReplaced(spark: SparkSession, name: String, round: Int): DataFrame = {
+    val path = tables(round).getOrElse(name, s"data/$name/${rid(round)}")
+    stripBuckets(spark.read.parquet(s"$root/$path"))
+  }
 
   /** Binary sidecar committed with the round, if any. */
   def loadBlob(name: String, round: Int): Option[Array[Byte]] = {
@@ -135,10 +169,15 @@ class SnapshotTable(val root: String) {
     if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
   }
 
-  /** All appended versions of a table up to and including the round. */
+  /** All appended versions of a table up to and including the round.
+   * Rounds that appended nothing write no directory (empty appends are
+   * skipped at commit time) and contribute nothing here. */
   def loadAppended(spark: SparkSession, name: String, round: Int): DataFrame = {
     val dirs = (0 to round).map(r => s"$root/data/$name/${rid(r)}")
       .filter(d => Files.isDirectory(Paths.get(d)))
+    require(dirs.nonEmpty,
+      s"append table $name has no data at or before round $round " +
+        "(no round produced any rows for it)")
     stripBuckets(spark.read.parquet(dirs: _*))
   }
 

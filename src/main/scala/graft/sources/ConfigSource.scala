@@ -38,6 +38,38 @@ object ConfigSource {
       maxRetries = intOr("max_retries", d.maxRetries))
     (cfg, strList("seed_urls"))
   }
+
+  /** Env-var config form (S1 fallback layer, gcloud_crawler.py:183-199):
+   * CRAWLER_MAX_DEPTH / CRAWLER_MAX_PAGES_PER_DOMAIN /
+   * CRAWLER_RESPECT_ROBOTS / CRAWLER_CRAWL_DELAY / CRAWLER_MAX_RETRIES /
+   * CRAWLER_ALLOWED_DOMAINS (comma-separated). Missing variables take the
+   * reference's env-branch defaults (3 / 25 / true / 1.0 / 5 / empty —
+   * deliberately DIFFERENT from CrawlConfig's DEFAULT_CONFIG-derived
+   * defaults, as in the reference). `env` is injectable for tests. */
+  def fromEnv(env: Map[String, String] = sys.env): CrawlConfig =
+    CrawlConfig().copy(
+      maxDepth = env.get("CRAWLER_MAX_DEPTH").map(_.trim.toInt).getOrElse(3),
+      maxPagesPerDomain =
+        env.get("CRAWLER_MAX_PAGES_PER_DOMAIN").map(_.trim.toInt).getOrElse(25),
+      respectRobots = env.get("CRAWLER_RESPECT_ROBOTS")
+        .map(_.trim.toLowerCase == "true").getOrElse(true),
+      defaultCrawlDelayS =
+        env.get("CRAWLER_CRAWL_DELAY").map(_.trim.toDouble).getOrElse(1.0),
+      maxRetries = env.get("CRAWLER_MAX_RETRIES").map(_.trim.toInt).getOrElse(5),
+      allowedDomains = env.get("CRAWLER_ALLOWED_DOMAINS").filter(_.nonEmpty)
+        .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil))
+
+  /** The reference's config resolution CHAIN (gcloud_crawler.py:155-210):
+   * JSON file if it exists → env vars → defaults. (A chain of whole
+   * sources, not a per-key merge — a present JSON file wins outright,
+   * exactly as in the reference.) Returns (config, seeds); the env/default
+   * layers carry no seed list. */
+  def resolve(jsonPath: Option[String],
+              env: Map[String, String] = sys.env): (CrawlConfig, Seq[String]) =
+    jsonPath.filter(p => Files.exists(Paths.get(p))) match {
+      case Some(p) => fromJson(p)
+      case None => (fromEnv(env), Nil)
+    }
 }
 
 /**

@@ -43,15 +43,21 @@ object Streaming {
         col("n"), col("value_milli"))
 
   /** Streaming URL-seen dedup (D1 in incremental form): first sight of a
-   * canonical URL wins, duplicates are dropped for as long as their event
-   * time is within the watermark horizon of the state (the unbounded
-   * batch-engine seen set lives in the snapshot tables; a stream must
-   * bound state — the watermark IS that bound, stated explicitly). */
+   * canonical URL wins; duplicates arriving within the watermark horizon of
+   * the first sight are dropped. `dropDuplicatesWithinWatermark` keys state
+   * by url alone yet EVICTS each entry once the watermark passes its event
+   * time — with plain `dropDuplicates(url)` the url-keyed state would grow
+   * unboundedly because eviction requires the event-time column among the
+   * keys. Bounded state is the trade: a duplicate arriving after the
+   * horizon re-emits, and a late row older than the current watermark is
+   * dropped before dedup ever sees it (so a late FIRST sight is lost) —
+   * both inherent to any watermarked stream; the batch engine's snapshot
+   * seen-set remains the exact, unbounded system of record. */
   def seenDedup(candidates: DataFrame, urlCol: String, tsCol: String,
                 watermark: String = "1 hour"): DataFrame =
     candidates
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(urlCol)
+      .dropDuplicatesWithinWatermark(urlCol)
 
   /** Per-host politeness scheduling with keyed state: within each host,
    * requests (processed in event-time order per micro-batch) receive

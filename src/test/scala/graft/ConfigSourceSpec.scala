@@ -24,6 +24,32 @@ class ConfigSourceSpec extends AnyFunSuite {
     assert(seedUrls == Seq("https://a.example.test/", "https://b.example.test/x"))
   }
 
+  test("env-var config form + resolution chain (S1, gcloud_crawler.py:155-210)") {
+    // full env set
+    val env = Map(
+      "CRAWLER_MAX_DEPTH" -> "7", "CRAWLER_MAX_PAGES_PER_DOMAIN" -> "42",
+      "CRAWLER_RESPECT_ROBOTS" -> "False", "CRAWLER_CRAWL_DELAY" -> "0.25",
+      "CRAWLER_MAX_RETRIES" -> "2",
+      "CRAWLER_ALLOWED_DOMAINS" -> "a.test, B.Test ,c.test")
+    val cfg = ConfigSource.fromEnv(env)
+    assert(cfg.maxDepth == 7 && cfg.maxPagesPerDomain == 42)
+    assert(!cfg.respectRobots && cfg.defaultCrawlDelayS == 0.25)
+    assert(cfg.maxRetries == 2)
+    assert(cfg.effectiveAllowed == Seq("a.test", "b.test", "c.test"))
+    // missing variables take the reference's env-branch defaults
+    // (3/25/true/1.0/5/empty — gcloud_crawler.py:185-196)
+    val d = ConfigSource.fromEnv(Map.empty)
+    assert(d.maxDepth == 3 && d.maxPagesPerDomain == 25 && d.respectRobots)
+    assert(d.defaultCrawlDelayS == 1.0 && d.maxRetries == 5)
+    assert(d.allowedDomains.isEmpty)
+    // resolution CHAIN: a present JSON file wins outright; otherwise env
+    val f = Files.createTempFile("cfg", ".json")
+    Files.writeString(f, """{"max_depth": 9}""")
+    assert(ConfigSource.resolve(Some(f.toString), env)._1.maxDepth == 9)
+    assert(ConfigSource.resolve(Some("/nonexistent.json"), env)._1.maxDepth == 7)
+    assert(ConfigSource.resolve(None, Map.empty)._1.maxDepth == 3)
+  }
+
   test("seed file: one URL per line, blanks dropped, invalid URLs filtered") {
     val f = Files.createTempFile("seeds", ".txt")
     Files.writeString(f,

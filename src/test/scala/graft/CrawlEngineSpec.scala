@@ -169,6 +169,34 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(engineSeen(root, s.rounds - 1) == of.seen.toSet)
   }
 
+  test("non-empty allowed_domains restricts admission oracle-exactly (F5)") {
+    import graft.functions.UrlKit
+    // restrictive EXACT list: the seed hosts only, with mixed case, stray
+    // whitespace, and a blank entry (all gcloud_master.py:50-59 branches)
+    val seedHosts = seeds.map(UrlKit.policyHost).distinct
+    val cfgA = cfg.copy(allowedDomains =
+      Seq(" " + seedHosts.head.toUpperCase + " ", "") ++ seedHosts.tail)
+    val oa = new CrawlOracle(docsMap, policyMap, cfgA).run(seeds)
+    assert(oa.seen.nonEmpty && oa.seen.size < oracleResult.seen.size,
+      "fixture must actually restrict admission")
+    // every admitted URL is on an allowed host (case-insensitive exact)
+    val allowedSet = seedHosts.map(_.toLowerCase).toSet
+    assert(oa.seen.forall(u => allowedSet.contains(UrlKit.policyHost(u))))
+    val root = Files.createTempDirectory("graft-crawl-dom").toString
+    val s = runEngine(root, cfgUsed = cfgA)
+    assert(engineSchedule(root, s.rounds - 1) ==
+      oa.schedule.map(l => (l.round, l.url, l.status)))
+    assert(engineSeen(root, s.rounds - 1) == oa.seen.toSet)
+
+    // dot-suffix + case branch: "Example.Test" admits every corpus host by
+    // suffix, so the schedule must equal the unrestricted run's
+    val cfgS = cfg.copy(allowedDomains = Seq("Example.Test"))
+    val rootS = Files.createTempDirectory("graft-crawl-sfx").toString
+    val sS = runEngine(rootS, cfgUsed = cfgS)
+    assert(engineSchedule(rootS, sS.rounds - 1) ==
+      oracleResult.schedule.map(l => (l.round, l.url, l.status)))
+  }
+
   test("page store, persisted postings, search-from-store, worker stats (S6/J6/T8/A4)") {
     import graft.operators.SearchIndex
     val root = Files.createTempDirectory("graft-crawl-store").toString
@@ -214,6 +242,39 @@ class CrawlEngineSpec extends AnyFunSuite {
     // A4/T7: worker stats cover every processed row; heartbeat = max round
     val ws = Crawler.workerStats(spark, root)
     assert(ws.agg(sum("processed")).collect()(0).getLong(0) == log.count())
+
+    // A4 remainder: exact index stats match countDistinct over the
+    // persisted postings; per-round manifest deltas exist and their
+    // posting counts (exact) sum to the table size
+    val idx = Crawler.indexStats(spark, root).collect()(0)
+    val postingsAll = snap.loadAppended(spark, "postings", last)
+    assert(idx.getAs[Long]("distinct_terms") ==
+      postingsAll.select("term").distinct().count())
+    assert(idx.getAs[Long]("indexed_docs") ==
+      postingsAll.select("url").distinct().count())
+    assert(idx.getAs[Long]("postings_rows") == postingsAll.count())
+    val hist = Crawler.indexStatsHistory(spark, root)
+    assert(hist.count() > 0)
+    assert(hist.agg(sum("new_postings")).collect()(0).getLong(0) ==
+      postingsAll.count())
+
+    // richer /status projection: finished crawl → not running; in_progress
+    // structurally empty; recently_added = top-seq frontier tail (empty
+    // here — the crawl drained its frontier)
+    val st = Crawler.statusSummary(spark, root).collect()(0)
+    assert(!st.getAs[Boolean]("is_running"))
+    assert(st.getAs[Long]("seen_size") == engineSeen(root, last).size)
+    assert(Crawler.inProgress(spark, root).count() == 0)
+    assert(Crawler.recentlyAdded(spark, root).count() == 0)
+    // a crawl stopped mid-flight reports running + a non-empty tail in
+    // admission order
+    val rootMid = Files.createTempDirectory("graft-crawl-mid").toString
+    runEngine(rootMid, maxRounds = 2)
+    val stMid = Crawler.statusSummary(spark, rootMid).collect()(0)
+    assert(stMid.getAs[Boolean]("is_running"))
+    val tail = Crawler.recentlyAdded(spark, rootMid, 3).collect()
+    assert(tail.length == 3)
+    assert(tail.map(_.getAs[Long]("seq")).toSeq == tail.map(_.getAs[Long]("seq")).sorted(Ordering[Long].reverse).toSeq)
 
     // S11: async request/response tables — submit two requests, process,
     // responses match the direct searchStore call; re-processing is a no-op

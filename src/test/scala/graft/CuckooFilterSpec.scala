@@ -168,4 +168,43 @@ class CuckooFilterSpec extends AnyFunSuite {
       } else assert(!t.delete(ks.head))
     }
   }
+
+  test("blob encoding rejects unversioned bytes with a clear error") {
+    val s = SeenSketch.empty("bloom", 1000)
+    val good = SeenSketch.serialize(s)
+    // a pre-versioning blob (no GSK header) must fail fast, not
+    // deserialize misaligned into garbage capacity/count values
+    val old = good.drop(4)
+    val e = intercept[IllegalArgumentException](SeenSketch.deserialize(old))
+    assert(e.getMessage.contains("GSK"))
+  }
+
+  test("deleteAllFrom subtracts a shard's keys (distributed forget primitive)") {
+    val main = CuckooFilter.create(4000)
+    val all = keys(1500, "m")
+    all.foreach(main.insert)
+    // delete-shard: same layout, holds the keys to remove
+    val shard = CuckooFilter.createWithBuckets(main.numBuckets)
+    val gone = all.take(700)
+    gone.foreach(shard.insert)
+    assert(main.deleteAllFrom(shard))
+    // exactly the shard's copies were removed (a deleted key may still FP
+    // against a surviving key's colliding fingerprint, so the exact checks
+    // are the count and the live keys — same contract as delete())
+    assert(main.cardinality == 800L)
+    all.drop(700).foreach(k => assert(main.mightContain(k), s"lost live key $k"))
+  }
+
+  test("deleteAllFrom handles shards whose kick chains overflowed (orphans)") {
+    // overfill a tiny layout so BOTH main and the delete-shard carry
+    // orphaned fingerprints; the subtraction must still remove every copy
+    val main = CuckooFilter.create(100)
+    val all = keys(300, "o")
+    all.foreach(main.insert)
+    val shard = CuckooFilter.createWithBuckets(main.numBuckets)
+    all.foreach(shard.insert)
+    assert(shard.hasOrphans, "fixture must actually orphan shard keys")
+    assert(main.deleteAllFrom(shard))
+    assert(main.cardinality == 0L)
+  }
 }

@@ -51,7 +51,7 @@ class DedupSpec extends AnyFunSuite {
       (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
       h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
     } yield (ia, ib, h)).toSet
-    val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3, tables = 4)
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3, blocks = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(expected.nonEmpty, "fixture should produce close simhashes")
     assert(got == expected)

@@ -29,7 +29,7 @@ class ResetFailuresSpec extends AnyFunSuite {
 
   def failedUrls(root: String): Set[String] = {
     val snap = new SnapshotTable(root)
-    snap.loadReplaced(spark, "failed", snap.latestRound.get)
+    snap.loadHybrid(spark, "failed", snap.latestRound.get)
       .select("url").collect().map(_.getString(0)).toSet
   }
 
