@@ -119,8 +119,12 @@ object Bench {
       lit(500L).as("remaining"), lit(true).as("allow"))
 
     val (counts, secs) = timed {
+      // mirrors run(): admitted is checkpointed before seq assignment, so
+      // the range partitioner's sampling pass reads materialized rows
+      // instead of re-running the admission tail
       val admitted = Crawler.admit(spark, cand, seen, hostCounts, cfg, Some(sketch))
         .select("url", "host", "depth", "retry", "ord1", "ord2")
+        .localCheckpoint(true)
       val entries = Crawler.assignSeq(spark, admitted,
         Seq(col("ord1"), col("ord2")), 0L)
         .select("url", "host", "depth", "retry", "seq")
@@ -377,10 +381,16 @@ object Bench {
       s""""scaling_efficiency_cpu_control":${"%.3f".format(effControl)},""" +
       pair2.map { case (a, b) =>
         val f2 = p2hi.toDouble / p2lo
+        // machine control for the SAME pair: what the box itself scales
+        // 2→8 with zero Spark/allocation — the ceiling against which the
+        // pair's sched/extract efficiencies should be read
+        val c2lo = Seq.fill(2)(cpuControl(p2lo)).max
+        val c2hi = Seq.fill(2)(cpuControl(p2hi)).max
         s""""pair2":{"lo":${lvlJson(a)},"hi":${lvlJson(b)},""" +
         s""""scaling_factor":$f2,""" +
         s""""scaling_efficiency_sched":${"%.3f".format(b.thr / (f2 * a.thr))},""" +
-        s""""scaling_efficiency_extract":${"%.3f".format(b.extractThr / (f2 * a.extractThr))}},"""
+        s""""scaling_efficiency_extract":${"%.3f".format(b.extractThr / (f2 * a.extractThr))},""" +
+        s""""scaling_efficiency_cpu_control":${"%.3f".format(c2hi / (f2 * c2lo))}},"""
       }.getOrElse("") +
       s""""queries":$qJson,"suite_total_s":${"%.3f".format(total)},"sf":"$sfDir"}""")
   }

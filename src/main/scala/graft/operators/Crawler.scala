@@ -208,9 +208,17 @@ object Crawler {
       .withColumn("rem", coalesce(col("remaining"), lit(defaultRemaining)))
     val bucketOrder = Window.partitionBy(col("host"), col("salt_"))
       .orderBy(col("seq"))
+    // both returned frames derive from both window phases, and callers
+    // consume them in SEPARATE actions (dispatch goes to the fetch join,
+    // deferred into the next frontier) — without materialization each
+    // window SORT would re-run per consumer. The two eager checkpoints pin
+    // each sort to exactly one execution; the trade (one extra
+    // materialization of the frontier slice vs a repeated O(n log n) sort)
+    // is the same one the round's other checkpoints make.
     val phase1 = withRem
       .withColumn("salt_", pmod(xxhash64(col("url")), lit(SaltBuckets)))
       .withColumn("r1", row_number().over(bucketOrder))
+      .localCheckpoint(true)
     val survivors = phase1.where(col("r1") <= col("rem")).drop("r1", "salt_")
     val deferredEarly = phase1.where(col("r1") > col("rem"))
       .select("url", "host", "depth", "retry", "seq")
@@ -218,6 +226,7 @@ object Crawler {
     val marked = survivors
       .withColumn("host_rank", row_number().over(hostOrder))
       .withColumn("is_dispatched", col("host_rank") <= col("rem"))
+      .localCheckpoint(true)
     val dispatched = marked.where(col("is_dispatched"))
       .select(col("url"), col("host"), col("depth"), col("retry"), col("seq"),
         coalesce(col("allow"), lit(true)).as("robots_allow"))
@@ -404,10 +413,13 @@ object Crawler {
       // broadcast), takes effect the round AFTER a host is quarantined
       // (BSP boundary normalization of the reference's immediate set-add),
       // and still consumes the dispatch slot.
+      // dispatchedRaw is a cheap filter over dispatchSelect's checkpointed
+      // phase-2 output, and the quarantine stamp is a broadcast hash join —
+      // consumers below re-run only that narrow tail, so no further
+      // materialization is needed
       val dispatched = dispatchedRaw
         .join(broadcast(quarTbl.withColumn("quar_", lit(true))), Seq("host"), "left_outer")
         .withColumn("quar", coalesce(col("quar_"), lit(false))).drop("quar_")
-        .localCheckpoint(true) // frontier slice reused 4+ times below
 
       // ---- "fetch": join the politeness-bounded dispatched set against
       // docs. Inner join finds fetched pages; anti join derives 404s. The
@@ -424,7 +436,7 @@ object Crawler {
       // the common small-round case)
       val nDisp =
         if (frontierSize <= cfg.broadcastRowLimit) frontierSize
-        else dispatched.count() // cheap: dispatched is checkpointed
+        else dispatched.count() // cheap: narrow over the checkpointed phase-2 rows
       val docsDf = docs.toDF()
       val (fetched, missing) =
         if (nDisp <= cfg.broadcastRowLimit) {

@@ -133,8 +133,12 @@ object Dedup {
     val keys = combos.map(s =>
       s.foldLeft(lit(0L))((acc, b) => shiftleft(acc, widths(b)).bitwiseOR(block(col("sim"), b))))
 
+    // fingerprints materialize ONCE (eager checkpoint): both sides of the
+    // self-join — and the hamming verify — read the tiny (doc, sim) frame
+    // instead of re-running tokenize+simhash per consumer
     val fp = df.select(col(id).as("doc"),
       sketch.simhash64(gf.tokenize(col(text))).as("sim"))
+      .localCheckpoint(true)
     val keyed = fp.select(col("doc"), col("sim"),
       posexplode(array(keys: _*)).as(Seq("tbl", "key")))
     val l = keyed.select(col("tbl"), col("key"),

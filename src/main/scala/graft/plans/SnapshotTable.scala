@@ -50,22 +50,33 @@ class SnapshotTable(val root: String) {
              metaLate: () => Map[String, String] = () => Map.empty): Unit = {
     Files.createDirectories(manifestDir)
     val all = replaced ++ appended
-    all.foreach { case (name, df) =>
-      val path = s"$root/data/$name/${rid(round)}"
-      bucketed.get(name) match {
-        // physically bucket the table (Iceberg `bucket(N, …)` analog):
-        // one file per bucket dir, prunable and co-locatable. A zero-row
-        // partitioned write would leave no readable footer, so empty
-        // tables fall through to a plain (schema-carrying) write.
-        case Some(bucketExpr) if !df.isEmpty =>
-          df.withColumn("p_bucket", bucketExpr)
-            .repartition(SnapshotTable.Buckets,
-              org.apache.spark.sql.functions.col("p_bucket"))
-            .write.mode("overwrite").partitionBy("p_bucket").parquet(path)
-        case _ =>
-          df.write.mode("overwrite").parquet(path)
+    // the tables are independent directories — submit their write jobs
+    // CONCURRENTLY so one table's IO tail overlaps the next one's compute
+    // (sequential writes left most of the cluster idle between jobs; on a
+    // real cluster this is ordinary multi-job scheduling). The manifest
+    // rename below still happens only after every write returned.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = SnapshotTable.writeEc
+    val writes = all.toSeq.map { case (name, df) =>
+      Future {
+        val path = s"$root/data/$name/${rid(round)}"
+        bucketed.get(name) match {
+          // physically bucket the table (Iceberg `bucket(N, …)` analog):
+          // one file per bucket dir, prunable and co-locatable. A zero-row
+          // partitioned write would leave no readable footer, so empty
+          // tables fall through to a plain (schema-carrying) write.
+          case Some(bucketExpr) if !df.isEmpty =>
+            df.withColumn("p_bucket", bucketExpr)
+              .repartition(SnapshotTable.Buckets,
+                org.apache.spark.sql.functions.col("p_bucket"))
+              .write.mode("overwrite").partitionBy("p_bucket").parquet(path)
+          case _ =>
+            df.write.mode("overwrite").parquet(path)
+        }
       }
     }
+    Await.result(Future.sequence(writes), Duration.Inf)
     // binary sidecars (e.g. the serialized seen-filter shards) are written
     // BEFORE the manifest rename, so a committed round always has them
     blobs.foreach { case (name, bytes) =>
@@ -188,4 +199,15 @@ class SnapshotTable(val root: String) {
 object SnapshotTable {
   /** Physical bucket fan-out for bucketed tables. */
   val Buckets = 32
+
+  /** Bounded pool for concurrent commit writes (daemon threads: the pool
+   * must never keep a JVM alive). 6 ≈ the number of non-trivial tables a
+   * round commits; the cluster-side parallelism comes from Spark itself. */
+  private[plans] lazy val writeEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(6, r => {
+        val t = new Thread(r, "snapshot-commit-write")
+        t.setDaemon(true)
+        t
+      }))
 }
