@@ -288,6 +288,29 @@ class CrawlEngineSpec extends AnyFunSuite {
     val r1 = svc.responses(spark).where(col("req_id") === "r1")
       .orderBy("rank").collect().map(r => (r.getAs[String]("url"), r.getAs[Double]("score")))
     assert(r1.toSeq == viaStore.map(r => (r.getString(0), r.getDouble(1))).toSeq)
+
+    // S11 at backlog scale: a bulk replay of requests across ALL THREE
+    // search fields resolves in one processPending pass (one join-driven
+    // plan per field, not one plan per request), and every response
+    // equals the direct per-request searchStore result
+    val bulk = Seq(
+      ("b01", "spark crawl", "content", 10), ("b02", "frontier", "content", 3),
+      ("b03", "crawl", "title", 5), ("b04", "spark", "title", 4),
+      ("b05", "h-000", "url", 5), ("b06", "d/4", "url", 7),
+      ("b07", "crawl frontier spark", "content", 8), ("b08", "spark spark", "content", 5))
+    bulk.foreach { case (id, q, f, k) => svc.submit(spark, id, q, f, k) }
+    assert(svc.processPending(spark, root) == bulk.length)
+    assert(svc.pending(spark).count() == 0)
+    val resp = svc.responses(spark)
+    bulk.foreach { case (id, q, f, k) =>
+      val got = resp.where(col("req_id") === id).orderBy("rank")
+        .collect().map(r => (r.getAs[String]("url"), r.getAs[Double]("score"),
+          r.getAs[String]("snippet"))).toSeq
+      val want = Crawler.searchStore(spark, root, q, f, k)
+        .collect().map(r => (r.getAs[String]("url"), r.getAs[Double]("score"),
+          r.getAs[String]("snippet"))).toSeq
+      assert(got == want, s"bulk response $id ($f '$q') diverges from searchStore")
+    }
   }
 
   test("size-gated fetch join: bloom-pruned shuffle-hash path equals the broadcast path") {
