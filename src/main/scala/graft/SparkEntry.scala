@@ -389,16 +389,23 @@ object SparkEntry {
           operators.TextAnalysis.rollingFingerprint(col("text")).as("rfp"))
     }),
 
-    // multimodal plumbing: synthesize binary media, decode (stub) metadata,
-    // resize, frame-sample (rows-only: xxhash64-derived fake values)
+    // multimodal pipeline over REAL media: deterministic PNG (even ids) /
+    // WAV (odd ids) bytes synthesized per doc, then genuinely decoded
+    // (javax.imageio headers / RIFF parse), images resized through
+    // Graphics2D, audio duration from the PCM frame count. rows-only for
+    // the driver (DuckDB has no codecs); value-level goldens live in
+    // MultimodalSpec (decode(resize(x)) dims, histograms, PCM samples).
     "q_media_pipeline" -> ((s, dir) => {
       val base = s.read.parquet(t(dir, "documents")).select("doc_id")
-      val withMedia = operators.Multimodal.fakeMediaBytes(base, "doc_id")
-      val decoded = operators.Multimodal.decodeMeta(withMedia, "media")
-      operators.Multimodal.resize(decoded, "meta", 256)
-        .select(col("doc_id"), col("meta.format").as("format"),
-          col("resized.width").as("width"), col("resized.height").as("height"),
-          col("meta.n_bytes").as("n_bytes"))
+      val withMedia = operators.Multimodal.syntheticMedia(base, "doc_id")
+      val img = operators.Multimodal.resizeImage(
+        operators.Multimodal.imageMeta(withMedia, "media"), "media", 24)
+      val both = operators.Multimodal.audioMeta(img, "media")
+      both.select(col("doc_id"),
+        coalesce(col("meta.format"), col("audio_meta.format")).as("format"),
+        col("resized.width").as("width"), col("resized.height").as("height"),
+        col("audio_meta.duration_ms").as("duration_ms"),
+        length(col("media")).cast("long").as("n_bytes"))
     }),
 
     // ---- relational coverage (SURVEY §2.3/2.5 join family) ----

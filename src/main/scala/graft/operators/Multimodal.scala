@@ -2,60 +2,239 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import java.io.ByteArrayInputStream
 
 /**
- * Multimodal-column plumbing: media payloads ride as opaque `binary`
+ * Multimodal-column operators: media payloads ride as opaque `binary`
  * columns with typed metadata structs, partitioned/batched like any other
- * column; decode / feature-extract / resize / frame-sample are expressed
- * as per-row transforms over the binary payload.
+ * column (SURVEY.md §2 training-data additions).
  *
- * STUB NOTE: no image/audio codecs exist in this container, so the decode
- * step is a clearly-marked deterministic fake — it derives metadata from
- * the byte stream itself (magic prefix + length + byte checksums) instead
- * of a real codec. The Spark-side contract (schema, nullability, batch
- * shape, partition behavior) is real and tested; swapping in a real codec
- * means replacing only the arithmetic inside `decodeMeta`/`frameSample`.
+ * The codecs are REAL and pure-JVM — `javax.imageio` (PNG/JPEG/BMP/GIF
+ * readers ship with the JDK) for images, a RIFF/fmt/data chunk parser
+ * for WAV audio, `Graphics2D` for resampling — so decode, resize,
+ * feature-extract and PCM sampling produce true values, golden-tested
+ * against synthesized media in MultimodalSpec. Video remains out of
+ * scope (the JDK carries no video codec; the audio path demonstrates
+ * the frame-sampling contract).
+ *
+ * Why Scala UDFs and not Catalyst expressions: codec work is per-row
+ * imperative byte-stream decoding over an opaque payload — there is
+ * nothing for codegen to fuse or for the optimizer to push down, and
+ * the UDF boundary keeps the (CPU-heavy) codec outside the row-format
+ * hot path exactly like the reference pipelines run their decoders.
+ * All UDFs are null-safe: undecodable bytes yield null, never a crash.
  */
 object Multimodal {
 
-  /** Synthesize a deterministic binary media column from a seed column —
-   * stands in for real image/audio bytes in fixtures and benches. */
-  def fakeMediaBytes(df: DataFrame, id: String): DataFrame =
-    df.withColumn("media", to_binary(
-      concat(lit("89504e47"), // PNG magic, hex
-        lpad(hex(xxhash64(col(id))), 16, "0"),
-        repeat(lpad(hex(pmod(xxhash64(col(id), lit(7)), lit(256))), 2, "0"),
-          pmod(col(id).cast("long"), lit(64)).cast("int") + 8)), lit("hex")))
+  // ---- real codecs (executor-side helpers) --------------------------------
 
-  /** DECODE (STUB): binary → struct(format, width, height, n_bytes).
-   * A real build decodes headers; the fake derives the same struct shape
-   * deterministically from the bytes. */
-  def decodeMeta(df: DataFrame, binCol: String): DataFrame =
-    df.withColumn("meta", struct(
-      when(hex(substring(col(binCol), 1, 4)) === "3839353034453437", lit("png"))
-        .otherwise(lit("bin")).as("format"),
-      (pmod(xxhash64(col(binCol)), lit(512)) + 16).cast("int").as("width"),
-      (pmod(xxhash64(col(binCol), lit(1)), lit(512)) + 16).cast("int").as("height"),
-      length(col(binCol)).cast("long").as("n_bytes")))
-
-  /** RESIZE (STUB): scales the fake metadata, keeping aspect ratio —
-   * exercises the nested-struct rewrite path. */
-  def resize(df: DataFrame, metaCol: String, maxSide: Int): DataFrame = {
-    val m = col(metaCol)
-    val scale = least(lit(1.0),
-      lit(maxSide) / greatest(m("width"), m("height")).cast("double"))
-    df.withColumn("resized", struct(
-      m("format").as("format"),
-      floor(m("width") * scale).cast("int").as("width"),
-      floor(m("height") * scale).cast("int").as("height"),
-      m("n_bytes").as("n_bytes")))
+  /** Image header decode via ImageIO: (format, width, height) without a
+   * full pixel decode (readers parse only the header for dimensions). */
+  private[graft] def imageHeader(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes == null || bytes.length == 0) return None
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally in.close()
   }
 
-  /** FRAME-SAMPLE (STUB): every k-th "frame offset" of a fake video
-   * payload as array<long> — the explode-ready shape a real sampler has. */
-  def frameSample(df: DataFrame, binCol: String, everyK: Int): DataFrame =
-    df.withColumn("frame_offsets",
-      transform(
-        sequence(lit(0L), greatest((length(col(binCol)) / everyK - 1).cast("long"), lit(0L))),
-        i => i * everyK))
+  private[graft] def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Parsed WAV header + location of the PCM payload. */
+  private[graft] case class WavInfo(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nFrames: Long, dataOffset: Int, dataLen: Int)
+
+  /** RIFF/WAVE chunk walk (PCM only — format tag 1). Pure arithmetic. */
+  private[graft] def wavInfo(b: Array[Byte]): Option[WavInfo] = {
+    def u16(i: Int) = ((b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8))
+    def u32(i: Int) = ((b(i) & 0xFF).toLong | ((b(i + 1) & 0xFF).toLong << 8) |
+      ((b(i + 2) & 0xFF).toLong << 16) | ((b(i + 3) & 0xFF).toLong << 24))
+    def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+    if (b == null || b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // rate, channels, bits
+    var data: Option[(Int, Int)] = None     // offset, len
+    while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(pos)
+      val sz = u32(pos + 4).toInt
+      if (id == "fmt " && pos + 24 <= b.length && u16(pos + 8) == 1)
+        fmt = Some((u32(pos + 12).toInt, u16(pos + 10), u16(pos + 22)))
+      else if (id == "data")
+        data = Some((pos + 8, math.min(sz, b.length - pos - 8)))
+      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    for ((rate, ch, bits) <- fmt; (off, len) <- data if ch > 0 && bits > 0)
+      yield WavInfo(rate, ch, bits, len.toLong / (ch * bits / 8), off, len)
+  }
+
+  // ---- image operators ----------------------------------------------------
+
+  /** DECODE: binary → struct(format, width, height, n_bytes) from the real
+   * image header; null for undecodable payloads. */
+  def imageMeta(df: DataFrame, binCol: String, out: String = "meta"): DataFrame = {
+    val u = udf((b: Array[Byte]) =>
+      imageHeader(b).map { case (f, w, h) => (f, w, h, b.length.toLong) })
+    df.withColumn(out, u(col(binCol)))
+      .withColumn(out, col(out).cast(
+        "struct<format:string,width:int,height:int,n_bytes:bigint>"))
+  }
+
+  /** RESIZE: full decode → Graphics2D bilinear resample so the longest
+   * side is ≤ maxSide (never upscales) → PNG re-encode. Returns
+   * struct(bytes, width, height); null when the payload doesn't decode. */
+  def resizeImage(df: DataFrame, binCol: String, maxSide: Int,
+                  out: String = "resized"): DataFrame = {
+    val u = udf((b: Array[Byte]) => readImage(b).map { img =>
+      val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+      val (w, h) = (math.max(1, math.floor(img.getWidth * scale).toInt),
+        math.max(1, math.floor(img.getHeight * scale).toInt))
+      val dst = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      (bos.toByteArray, w, h)
+    })
+    df.withColumn(out, u(col(binCol)))
+      .withColumn(out, col(out).cast("struct<bytes:binary,width:int,height:int>"))
+  }
+
+  /** FEATURE-EXTRACT: full decode → `bins`-bucket luminance histogram
+   * (L1-normalized) + mean luminance appended — a real array<double>
+   * feature vector for the similarity/dedup operators downstream. */
+  def imageFeatures(df: DataFrame, binCol: String, bins: Int = 16,
+                    out: String = "features"): DataFrame = {
+    val u = udf((b: Array[Byte]) => readImage(b).map { img =>
+      val hist = new Array[Double](bins)
+      var sum = 0.0
+      val n = img.getWidth * img.getHeight
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+            0.114 * (rgb & 0xFF)) / 255.0
+          hist(math.min(bins - 1, (lum * bins).toInt)) += 1.0
+          sum += lum
+          x += 1
+        }
+        y += 1
+      }
+      hist.map(_ / n) :+ (sum / n)
+    })
+    df.withColumn(out, u(col(binCol)))
+  }
+
+  // ---- audio operators ----------------------------------------------------
+
+  /** AUDIO DECODE: binary → struct(format, sample_rate, channels, bits,
+   * n_frames, duration_ms) from the real RIFF header. */
+  def audioMeta(df: DataFrame, binCol: String, out: String = "audio_meta"): DataFrame = {
+    val u = udf((b: Array[Byte]) => wavInfo(b).map(w =>
+      ("wav", w.sampleRate, w.channels, w.bitsPerSample, w.nFrames,
+        w.nFrames * 1000L / w.sampleRate)))
+    df.withColumn(out, u(col(binCol)))
+      .withColumn(out, col(out).cast("struct<format:string,sample_rate:int," +
+        "channels:int,bits:int,n_frames:bigint,duration_ms:bigint>"))
+  }
+
+  /** FRAME-SAMPLE: every k-th PCM frame's first-channel amplitude,
+   * normalized to [-1, 1] — the real form of the video-frame-sampling
+   * contract (array<double>, explode-ready), on the one media type the
+   * JVM can decode without external codecs. */
+  def audioSample(df: DataFrame, binCol: String, everyK: Int,
+                  out: String = "samples"): DataFrame = {
+    require(everyK > 0)
+    val u = udf((b: Array[Byte]) => wavInfo(b).filter(_.bitsPerSample == 16).map { w =>
+      val frameBytes = w.channels * 2
+      val n = (w.nFrames / everyK).toInt + (if (w.nFrames % everyK > 0) 1 else 0)
+      val res = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val off = w.dataOffset + i * everyK * frameBytes
+        val s = ((b(off) & 0xFF) | (b(off + 1) << 8)).toShort
+        res(i) = s / 32768.0
+        i += 1
+      }
+      res
+    })
+    df.withColumn(out, u(col(binCol)))
+  }
+
+  // ---- deterministic real-media synthesis (fixtures + q_media_pipeline) ---
+
+  /** A real PNG with deterministic dimensions and pixel content derived
+   * from the seed (encoded by the same ImageIO stack that decodes it). */
+  def syntheticPng(seed: Long): Array[Byte] = {
+    val w = 16 + (Math.floorMod(seed, 32L)).toInt
+    val h = 16 + (Math.floorMod(seed * 7 + 3, 32L)).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v = seed * 6364136223846793005L + (x * 31 + y) * 1442695040888963407L
+        v ^= (v >>> 29)
+        img.setRGB(x, y, (v & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A real 16-bit mono PCM WAV (8 kHz) carrying a seed-determined sine
+   * tone; length varies with the seed. */
+  def syntheticWav(seed: Long): Array[Byte] = {
+    val rate = 8000
+    val nFrames = 256 + Math.floorMod(seed, 256L).toInt
+    val freq = 200.0 + Math.floorMod(seed * 13, 1800L)
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * 12000).toShort
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    def le32(v: Int): Unit = { o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+      o.write((v >> 16) & 0xFF); o.write((v >> 24) & 0xFF) }
+    def le16(v: Int): Unit = { o.write(v & 0xFF); o.write((v >> 8) & 0xFF) }
+    o.writeBytes("RIFF"); le32(36 + data.length); o.writeBytes("WAVE")
+    o.writeBytes("fmt "); le32(16); le16(1); le16(1); le32(rate)
+    le32(rate * 2); le16(2); le16(16)
+    o.writeBytes("data"); le32(data.length); o.write(data)
+    bos.toByteArray
+  }
+
+  /** Attach deterministic REAL media bytes (PNG for even seeds, WAV for
+   * odd) derived from an id column — the fixture generator used by
+   * q_media_pipeline and the specs. */
+  def syntheticMedia(df: DataFrame, id: String, out: String = "media"): DataFrame = {
+    val u = udf((seed: Long) =>
+      if (seed % 2 == 0) syntheticPng(seed) else syntheticWav(seed))
+    df.withColumn(out, u(col(id).cast("long")))
+  }
 }

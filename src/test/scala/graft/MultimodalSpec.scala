@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-codec multimodal operators: the synthesized media is encoded by
+ * the same JVM stacks (ImageIO / RIFF writer) the operators decode, so
+ * every value below is an exact golden, not a shape check. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("imageMeta decodes real PNG headers exactly") {
+    import spark.implicits._
+    // seed → expected dims mirror syntheticPng's construction
+    val seeds = Seq(0L, 2L, 40L, 62L, 100L)
+    val df = Multimodal.imageMeta(
+      Multimodal.syntheticMedia(seeds.toDF("id"), "id"), "media")
+    val got = df.select(col("id"), col("meta.format"), col("meta.width"),
+      col("meta.height"), col("meta.n_bytes")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    seeds.foreach { s =>
+      val (w, h) = (16 + (s % 32).toInt, 16 + ((s * 7 + 3) % 32).toInt)
+      assert(got(s) == ("png", w, h), s"seed $s")
+    }
+    assert(df.select(col("meta.n_bytes")).as[Long].collect().forall(_ > 50))
+  }
+
+  test("resizeImage really resamples: re-decoding the output confirms the dims") {
+    import spark.implicits._
+    val df = Multimodal.resizeImage(
+      Multimodal.syntheticMedia(Seq(30L, 8L).toDF("id"), "id"), "media", 24)
+    // decode the RESIZED bytes with the independent header reader
+    val rows = df.select(col("id"), col("resized.bytes"), col("resized.width"),
+      col("resized.height")).collect()
+    rows.foreach { r =>
+      val redecoded = Multimodal.imageHeader(r.getAs[Array[Byte]](1)).get
+      assert((redecoded._2, redecoded._3) == (r.getInt(2), r.getInt(3)))
+      assert(math.max(r.getInt(2), r.getInt(3)) <= 24)
+    }
+    // seed 30: 46x37 → longest side 46 → scale 24/46 → 24x19 (floor, aspect kept)
+    val s30 = rows.find(_.getLong(0) == 30L).get
+    assert((s30.getInt(2), s30.getInt(3)) == (24, 19))
+    // small images are never upscaled
+    val small = Multimodal.resizeImage(
+      Multimodal.syntheticMedia(Seq(0L).toDF("id"), "id"), "media", 500)
+      .select(col("resized.width"), col("resized.height")).collect()(0)
+    assert((small.getInt(0), small.getInt(1)) == (16, 19))
+  }
+
+  test("imageFeatures: normalized luminance histogram + mean") {
+    import spark.implicits._
+    val feats = Multimodal.imageFeatures(
+      Multimodal.syntheticMedia(Seq(4L, 4L, 6L).toDF("id"), "id"), "media", bins = 16)
+      .select(col("id"), col("features")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    feats.foreach { case (_, f) =>
+      assert(f.length == 17) // 16 bins + mean
+      assert(math.abs(f.take(16).sum - 1.0) < 1e-9, "histogram is L1-normalized")
+      val mean = f.last
+      assert(mean > 0.0 && mean < 1.0)
+    }
+    // deterministic: equal seeds → identical vectors; different seeds differ
+    val bySeed = feats.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(bySeed(4L).distinct.size == 1)
+    assert(bySeed(4L).head != bySeed(6L).head)
+  }
+
+  test("audioMeta + audioSample parse real WAV PCM") {
+    import spark.implicits._
+    val seeds = Seq(1L, 7L, 255L)
+    val df = Multimodal.audioSample(
+      Multimodal.audioMeta(
+        Multimodal.syntheticMedia(seeds.toDF("id"), "id"), "media"),
+      "media", everyK = 10)
+    val rows = df.select(col("id"), col("audio_meta.sample_rate"),
+      col("audio_meta.channels"), col("audio_meta.bits"),
+      col("audio_meta.n_frames"), col("audio_meta.duration_ms"),
+      col("samples")).collect()
+    rows.foreach { r =>
+      val seed = r.getLong(0)
+      val nFrames = 256 + (seed % 256).toInt
+      assert((r.getInt(1), r.getInt(2), r.getInt(3)) == (8000, 1, 16))
+      assert(r.getLong(4) == nFrames)
+      assert(r.getLong(5) == nFrames * 1000L / 8000)
+      val samples = r.getSeq[Double](6)
+      assert(samples.length == nFrames / 10 + (if (nFrames % 10 > 0) 1 else 0))
+      // golden: sample i equals the synthesized sine at frame i*10
+      val freq = 200.0 + (seed * 13) % 1800
+      samples.zipWithIndex.foreach { case (v, i) =>
+        val want = (math.sin(2 * math.Pi * freq * (i * 10) / 8000) * 12000).toShort / 32768.0
+        assert(math.abs(v - want) < 1e-12, s"seed $seed sample $i")
+      }
+    }
+  }
+
+  test("undecodable and cross-type payloads yield null, never a crash") {
+    import spark.implicits._
+    val junk = Seq(Array[Byte](1, 2, 3), "not media".getBytes, Array.empty[Byte])
+      .toDF("media")
+    assert(Multimodal.imageMeta(junk, "media")
+      .where(col("meta").isNotNull).count() == 0)
+    assert(Multimodal.audioMeta(junk, "media")
+      .where(col("audio_meta").isNotNull).count() == 0)
+    // a WAV is not an image and vice versa
+    val wav = Seq(1L).toDF("id")
+    val mixed = Multimodal.syntheticMedia(wav, "id")
+    assert(Multimodal.imageMeta(mixed, "media")
+      .where(col("meta").isNotNull).count() == 0)
+  }
+}
