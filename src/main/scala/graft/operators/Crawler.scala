@@ -143,15 +143,17 @@ object Crawler {
     // seen anti-join (D1), sketch-prefiltered when available: sketch-negative
     // candidates skip the join entirely; positives are exactly re-checked,
     // so filter false positives never drop URLs. The probe is a native
-    // codegen expression (SketchContains) over the deduped (one-row-per-url)
-    // agg output. The two union branches share the groupBy's shuffle
-    // EXCHANGE (ReusedExchange): the candidate pipeline (canonicalize +
-    // dedup shuffle write) runs once; only the narrow post-exchange work
-    // (final agg + probe + filter) runs per branch. Deliberately NOT
-    // checkpointed — materializing the full probed batch to block storage
-    // on the hot path costs more than re-running the narrow tail, and the
-    // exchange's url hash-partitioning feeds the anti-join shuffle-free on
-    // the candidate side.
+    // codegen expression (SketchContains), and the plan is deliberately
+    // left BARRIER-FREE: Catalyst pushes the (deterministic) probe filter
+    // below the dedup aggregation, so each union branch builds its own
+    // exchange over a DISJOINT slice of the candidates — combined shuffle
+    // volume equals one full exchange, and the codegen'd source pipeline
+    // is re-run once per branch. Both materialization alternatives were
+    // MEASURED SLOWER at every level: r2's eager localCheckpoint of the
+    // probed batch (block-store write on the hot path; the r2 sched
+    // regression, 437k→378k) and a MEMORY_AND_DISK_SER persist (serialized
+    // cache pressure collapses 32-core throughput 467k→385k). PlanAuditSpec
+    // locks this shape (two url exchanges, no RDD-scan barrier).
     val fresh = seenSketch match {
       case Some(sk) =>
         val bc = spark.sparkContext.broadcast(sk)

@@ -54,6 +54,41 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("admit stays barrier-free: disjoint branch exchanges, no materialization (r3 hot-path fix)") {
+    // Catalyst pushes the deterministic probe below the dedup aggregation,
+    // so the sketch-positive and sketch-negative branches each exchange a
+    // DISJOINT candidate slice (combined volume = one full shuffle) with
+    // the codegen'd source re-run per branch. Both alternatives measured
+    // slower: r2's eager localCheckpoint (the sched regression) and a
+    // serialized persist (collapses 32-core throughput). Lock the winning
+    // shape: exactly two url-keyed exchanges, probe pushed into both
+    // branches, and NO RDD-scan/cache barrier anywhere in the plan.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cand = spark.range(1000).select(
+      concat(lit("https://h-"), pmod(col("id"), lit(7)),
+        lit(".example.test/p/"), col("id")).as("url"),
+      concat(lit("h-"), pmod(col("id"), lit(7)), lit(".example.test")).as("host"),
+      lit(1).as("depth"), lit(0).as("retry"), col("id").as("ord1"), lit(0).as("ord2"))
+    val seen = spark.range(100)
+      .select(concat(lit("https://h-0.example.test/p/"), col("id")).as("url"))
+    val sketch = graft.functions.SeenSketch.build(seen, "url", "bloom", 1024)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val p = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.operators.Crawler.admit(spark, cand, seen,
+        Seq.empty[(String, Long)].toDF("host", "cnt"),
+        CrawlConfig(maxPagesPerDomain = 1000), Some(sketch))
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val urlExchanges = "Exchange hashpartitioning\\(url".r.findAllIn(p).size
+    assert(urlExchanges == 2, s"expected 2 disjoint branch exchanges, got $urlExchanges:\n$p")
+    val probes = "sketch_contains".r.findAllIn(p).size
+    assert(probes >= 2, s"probe not pushed into both branches:\n$p")
+    assert(!p.contains("Scan ExistingRDD") && !p.contains("InMemoryTableScan"),
+      s"admission pipeline materialized mid-plan:\n$p")
+  }
+
   test("minhash LSH shuffles narrow banded rows, not shingle arrays") {
     // the band-bucket self-join must shuffle only (band, bhash, doc-id)
     // rows; the wide shingle arrays join back AFTER candidate pruning.
