@@ -790,7 +790,11 @@ object Crawler {
     val r = snap.latestRound.getOrElse(
       throw new IllegalStateException("no crawl state"))
     val m = snap.meta(r)
-    val running = m.get("frontierSize").exists(_.toLong > 0)
+    // crawl-round commits stamp frontierSize; reset commits don't (the
+    // new frontier size isn't known there without a count job) — fall
+    // back to an is-non-empty probe of the committed frontier table
+    val running = m.get("frontierSize").map(_.toLong > 0).getOrElse(
+      !snap.loadReplaced(spark, "frontier", r).isEmpty)
     val last = status(spark, root).orderBy(desc("round")).limit(1)
       .collect().headOption
     Seq((running, r,
