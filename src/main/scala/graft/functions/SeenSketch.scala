@@ -97,10 +97,10 @@ object SeenSketch {
    * kind byte + saturation byte + payload. Bump on ANY layout change: a
    * pre-versioning blob deserialized at the wrong offset yields garbage
    * capacity/count values with no error, which is strictly worse than
-   * failing fast. Old snapshots are NOT supported — resume from them
-   * rebuilds the sketch from the seen table instead (Crawler's
-   * loadBlob(...).map(deserialize).getOrElse(build) path does this if the
-   * caller catches; run() fails fast with this message by design). */
+   * failing fast. Old snapshots are NOT supported at the blob level;
+   * resume from them still works — Crawler's restore paths treat an
+   * unreadable blob exactly like a missing one and rebuild the sketch
+   * from the seen table (the sketch is reconstructible state). */
   private val Magic: Array[Byte] = Array('G', 'S', 'K', 2)
 
   /** magic/version + kind byte + saturation byte + payload, so a snapshot

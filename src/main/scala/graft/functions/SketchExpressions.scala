@@ -130,6 +130,49 @@ object SketchCodegen {
     new GenericArrayData(java.util.Arrays.copyOf(w, out))
   }
 
+  /** Per-(blocks, maxHamming) precomputed Manku table-key plan: block bit
+   * widths/offsets and the C(blocks, blocks−maxHamming) block
+   * combinations, resolved once per parameterization (process-wide cache)
+   * so the per-row loop is pure shifts and masks. */
+  private final class SimhashKeyPlan(blocks: Int, maxHamming: Int) {
+    val widths: Array[Int] =
+      Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    val offsets: Array[Int] = widths.scanLeft(0)(_ + _)
+    val masks: Array[Long] =
+      widths.map(w => if (w >= 64) -1L else (1L << w) - 1)
+    val combos: Array[Array[Int]] =
+      (0 until blocks).combinations(blocks - maxHamming).map(_.toArray).toArray
+  }
+  private val simhashPlans =
+    new java.util.concurrent.ConcurrentHashMap[Int, SimhashKeyPlan]()
+
+  /** All C(blocks, blocks−maxHamming) Manku block-combination table keys
+   * of a 64-bit simhash fingerprint, in one pass (key t = concatenated
+   * bits of combination t's blocks — identical to folding shift/or per
+   * block, but emitted by ONE expression instead of one column tree per
+   * table, so the session compiles a single codegen call site however
+   * many tables the parameterization implies). */
+  def simhashTableKeys(sim: Long, blocks: Int, maxHamming: Int): ArrayData = {
+    val plan = simhashPlans.computeIfAbsent(blocks * 64 + maxHamming,
+      _ => new SimhashKeyPlan(blocks, maxHamming))
+    val combos = plan.combos
+    val out = new Array[Long](combos.length)
+    var t = 0
+    while (t < combos.length) {
+      val c = combos(t)
+      var acc = 0L
+      var j = 0
+      while (j < c.length) {
+        val b = c(j)
+        acc = (acc << plan.widths(b)) | ((sim >>> plan.offsets(b)) & plan.masks(b))
+        j += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Exact Jaccard of two DISTINCT-element long arrays (hashed shingle
    * sets): sort-merge intersection count, no per-element boxing or hash
    * set — the candidate-verification hot loop of MinHash LSH. */
@@ -206,6 +249,22 @@ case class JaccardLong(left: Expression, right: Expression) extends BinaryExpres
   override def prettyName: String = "jaccard_long"
 }
 
+/** simhash_table_keys(sim: long, blocks, maxHamming) → array<long>: the
+ * C(blocks, blocks−maxHamming) Manku block-combination bucket keys, as a
+ * single array-producing expression (posexplode-ready). */
+case class SimhashTableKeys(child: Expression, blocks: Int, maxHamming: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(sim: Any): Any =
+    SketchCodegen.simhashTableKeys(sim.asInstanceOf[Long], blocks, maxHamming)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.SketchCodegen.simhashTableKeys($s, $blocks, $maxHamming)")
+  override protected def withNewChildInternal(c: Expression): SimhashTableKeys =
+    copy(child = c)
+  override def prettyName: String = "simhash_table_keys"
+}
+
 /** hash64_array(tokens: array<string>) → array<long> (stable content hash) */
 case class Hash64Array(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -248,6 +307,8 @@ object sketch {
     GraftShim.column(MinHashSig(GraftShim.expression(shingleHashes), k))
   def simhash64(tokens: Column): Column =
     GraftShim.column(SimHash64(GraftShim.expression(tokens)))
+  def simhash_table_keys(sim: Column, blocks: Int, maxHamming: Int): Column =
+    GraftShim.column(SimhashTableKeys(GraftShim.expression(sim), blocks, maxHamming))
   def hash64_array(tokens: Column): Column =
     GraftShim.column(Hash64Array(GraftShim.expression(tokens)))
   def rolling_hash64(tokens: Column): Column =

@@ -62,6 +62,20 @@ object Crawler {
   /** Salt fan-out for the two-phase per-host windows. */
   val SaltBuckets = 16
 
+  // Append-table schemas, for schema-correct empty reads of tables no
+  // round has written yet (a crawl whose every seed 404'd creates no
+  // pages/postings/doc_store directories at all — a legitimate state the
+  // read projections must serve, not an error).
+  private[operators] val PostingsDdl =
+    "term string, url string, weight double, title string, round int"
+  private[operators] val DocStoreDdl = "round int, url string, title string, text string"
+  private val PagesDdl =
+    "round int, url string, host string, raw string, content_type string"
+  private val FetchLogDdl = "round int, url string, host string, depth int, " +
+    "seq bigint, status string, part_id int, error string, links_found int"
+  private val WorkerStatsDdl =
+    "round int, part_id int, processed bigint, completed bigint, links_found bigint"
+
   case class RoundStats(
       round: Int, dispatched: Long, completed: Long, failed: Long,
       requeued: Long, admitted: Long, frontierSize: Long, seenSize: Long)
@@ -80,36 +94,83 @@ object Crawler {
   }
 
   /** Deterministic dense sequence assignment (seq = base + global rank in
-   * the given total order). Scales as: range-partition by the order keys →
-   * in-partition sort → monotonically_increasing_id (encodes partition id
-   * in the upper bits, in-partition position in the lower 33) → add the
-   * cumulative per-partition offsets via a broadcast join. Everything
-   * stays inside Tungsten/codegen (no RDD object round-trip, no global
-   * single-partition window), and the result depends only on the total
-   * order — partition boundaries (sampled by the range partitioner) cancel
-   * out of offset + rank, so the seq is reproducible at any parallelism. */
+   * the given total order), SAMPLING-FREE. Decomposes the global rank as
+   * offset(group) + rank-within-group over an ORDER-ALIGNED group key
+   * derived arithmetically from the order columns' min/max (one light
+   * aggregation — the call's only driver-synchronous job): group
+   * g = scaled bucket of the leading order column, nesting into later
+   * columns when the leading span is narrow. g is a weakly-monotone pure
+   * function of the order tuple, so groups are contiguous slices of the
+   * total order; per-group counts → cumulative offsets (a P-row
+   * single-partition window, built lazily as the broadcast side) and a
+   * per-group rank window finish the job. Replaces the previous
+   * range-partitioner scheme, whose per-call fixed cost — a sampling pass
+   * over the input, an eager checkpoint of the full rows to pin sampled
+   * boundaries, and a per-partition count collect — was a measured
+   * scaling bottleneck at low core counts (BENCH.md): three
+   * driver-synchronous jobs and one full materialization become one tiny
+   * agg. The result depends only on VALUES (bounds, counts, order), never
+   * on partition boundaries, so the seq is reproducible at any
+   * parallelism without pinning anything.
+   *
+   * Preconditions (all engine call sites satisfy them): order columns are
+   * non-null and integral-castable, and together form a total order.
+   * Group-size balance tracks the value distribution inside [min, max] —
+   * uniform-ish for every engine caller (seed indices, parent seqs of a
+   * dispatched window, candidate ids); a pathological distribution costs
+   * one oversized sort group, never correctness. */
   def assignSeq(spark: SparkSession, df: DataFrame, order: Seq[Column],
                 base: Long): DataFrame = {
-    import spark.implicits._
-    val prepared = df
-      .repartitionByRange(order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("_mid", monotonically_increasing_id())
-      .localCheckpoint(true) // pin boundaries: offsets must match the data
-    val perPart = prepared
-      .groupBy(shiftrightunsigned(col("_mid"), 33).as("_pid"))
-      .agg(count(lit(1)).as("_cnt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = perPart.map { case (pid, cnt) =>
-      val o = acc; acc += cnt; (pid, o)
-    }.toSeq.toDF("_pid", "_offset")
-    prepared
-      .join(broadcast(offsets),
-        shiftrightunsigned(col("_mid"), 33) === col("_pid"))
-      .withColumn("seq",
-        lit(base + 1) + col("_offset") + (col("_mid").bitwiseAND(lit((1L << 33) - 1))))
-      .drop("_mid", "_pid", "_offset")
+    val n = order.length
+    val bounds = df.agg(count(lit(1)).as("_n"),
+      order.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(c).cast(LongType).as(s"_lo$i"), max(c).cast(LongType).as(s"_hi$i"))
+      }: _*).collect()(0)
+    if (bounds.getLong(0) == 0L) return df.withColumn("seq", lit(0L)).limit(0)
+    val los = (0 until n).map(i => bounds.getLong(1 + 2 * i))
+    val his = (0 until n).map(i => bounds.getLong(2 + 2 * i))
+    val targetGroups = math.max(
+      scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism), 2).toLong
+
+    // order-aligned group key: bucket the leading column's [lo, hi] span;
+    // when the span is narrower than the group budget (constant bucket
+    // column, seed ord1 = -1, tiny crawls) give each leading value its own
+    // sub-range and recurse into the next column. Weak monotonicity in the
+    // order tuple is the invariant (floor of a monotone map stays
+    // monotone; nested terms are bounded by their sub-budget up to the
+    // boundary-rounding row, which only ever merges ADJACENT slices) —
+    // exact bucket-boundary placement is free to wobble, alignment is not.
+    def groupKey(i: Int, budget: Long): Column = {
+      if (i >= n || budget <= 1) lit(0L)
+      else {
+        val span = his(i) - los(i) + 1 // >= 1; engine key spans fit long
+        val c = order(i).cast(LongType) - lit(los(i))
+        if (span >= budget) {
+          val width = math.max(1L, (span + budget - 1) / budget)
+          floor(c.cast("double") / lit(width.toDouble)).cast(LongType)
+        } else {
+          val inner = math.max(1L, budget / span)
+          c * lit(inner) + groupKey(i + 1, inner)
+        }
+      }
+    }
+
+    val withG = df.withColumn("_g", groupKey(0, targetGroups))
+    // per-group offsets: counts → exclusive running sum over the (≤ P-row)
+    // group table. Built LAZILY as the broadcast build side — it executes
+    // as a sub-job of the consumer's action, not a driver round trip.
+    val offW = Window.orderBy(col("_g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withG.groupBy(col("_g")).agg(count(lit(1)).as("_cnt"))
+      .coalesce(1) // P rows; single partition makes the running sum exact + quiet
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(offW), lit(0L)))
+      .drop("_cnt")
+    val rankW = Window.partitionBy(col("_g")).orderBy(order: _*)
+    withG.withColumn("_r", row_number().over(rankW))
+      .join(broadcast(offsets), Seq("_g"))
+      .withColumn("seq", lit(base) + col("_off") + col("_r"))
+      .drop("_g", "_off", "_r")
   }
 
   // ---- admission gate (shared by seeds and extracted links) ---------------
@@ -256,11 +317,19 @@ object Crawler {
    * prefilter engages in the admission anti-join (it is MAINTAINED from
    * round 0 — incrementally, O(admitted) per round — and checkpointed with
    * every snapshot, so engaging it is free; below the threshold the plain
-   * anti-join is cheaper than a broadcast + filter pass). */
+   * anti-join is cheaper than a broadcast + filter pass).
+   *
+   * `stopRequested`: cooperative graceful-stop probe (the reference's
+   * POST /stop_crawl → later start resumes, templates/app.py:753-805),
+   * polled once per round at the loop boundary. When it turns true the
+   * call returns after the last committed round with the frontier intact
+   * — statusSummary still reports is_running while work remains — and a
+   * subsequent run() resumes to the exact uninterrupted schedule. */
   def run(spark: SparkSession, docs: Dataset[Doc], seedUrls: Seq[String],
           policies: Dataset[HostPolicy], cfg: CrawlConfig, root: String,
           maxRounds: Int = 10000, sketchThreshold: Long = 100000L,
-          seedFeed: Int => Seq[String] = _ => Nil): CrawlSummary = {
+          seedFeed: Int => Seq[String] = _ => Nil,
+          stopRequested: () => Boolean = () => false): CrawlSummary = {
     import spark.implicits._
     val snap = new SnapshotTable(root)
 
@@ -292,8 +361,12 @@ object Crawler {
       snap.latestRound match {
         case Some(r) =>
           val m = snap.meta(r)
+          // a missing OR unreadable (pre-v2 layout) blob falls back to a
+          // rebuild from the seen table — resume must never be forfeited
+          // over a sketch, which is reconstructible state by definition
           sketch = snap.loadBlob("seen_sketch", r)
-            .map(graft.functions.SeenSketch.deserialize)
+            .flatMap(b => scala.util.Try(
+              graft.functions.SeenSketch.deserialize(b)).toOption)
             .getOrElse(graft.functions.SeenSketch.build(
               snap.loadHybrid(spark, "seen", r), "url",
               cfg.seenSketch, cfg.sketchCapacity))
@@ -345,7 +418,14 @@ object Crawler {
     // `seedFeed` must be a pure function of the round number (it is called
     // once in the loop guard and once in the body) — the config-hot-reload
     // contract: "what new seeds appeared by round r" (T5).
-    while (round < maxRounds && (frontierSize > 0 || seedFeed(round).nonEmpty)) {
+    // graceful stop (POST /stop_crawl, templates/app.py:753-805): the flag
+    // is checked at the ROUND BOUNDARY only — a BSP round either commits
+    // whole or not at all, so any stop leaves exactly the state a crash
+    // would, and a later run() resumes from it (resume-equivalence spec).
+    // statusSummary keeps reporting is_running=true while work remains,
+    // mirroring the reference's stopped-but-resumable crawl.
+    while (!stopRequested() && round < maxRounds &&
+           (frontierSize > 0 || seedFeed(round).nonEmpty)) {
       // ---- config hot-reload (T5, gcloud_master.py:542-617): seeds that
       // appeared since the last round are admitted at depth 0 through the
       // SAME gate as extracted links (seen-dedup D1/D3, allowed-domains,
@@ -700,15 +780,25 @@ object Crawler {
         metaLate = () => idxObs.map { o =>
           // the observed write finished before metaLate runs, so get()
           // returns promptly; a bounded wait guards the (unexpected) case
-          // of the metrics listener never firing
+          // of the metrics listener never firing. The wait runs on a
+          // DEDICATED DAEMON thread (Await does not cancel an abandoned
+          // future — on the global pool it would pin a pool thread
+          // forever), and ANY failure degrades to stats-less meta: index
+          // stats must never abort a commit whose table writes succeeded.
           try {
-            val m = scala.concurrent.Await.result(
-              scala.concurrent.Future(o.get)(scala.concurrent.ExecutionContext.global),
+            val p = scala.concurrent.Promise[Map[String, Any]]()
+            val t = new Thread(() => p.tryComplete(scala.util.Try(o.get)),
+              "graft-idx-obs-wait")
+            t.setDaemon(true)
+            t.start()
+            val m = scala.concurrent.Await.result(p.future,
               scala.concurrent.duration.Duration(60, "s"))
             Map("idx_new_terms_approx" -> m("terms").toString,
               "idx_new_docs_approx" -> m("docs").toString,
               "idx_new_postings" -> m("postings").toString)
-          } catch { case _: java.util.concurrent.TimeoutException => Map.empty[String, String] }
+          } catch {
+            case scala.util.control.NonFatal(_) => Map.empty[String, String]
+          }
         }.getOrElse(Map.empty))
       pendingSeen = emptySeen
       pendingSeenRows = 0L
@@ -754,7 +844,7 @@ object Crawler {
     val snap = new SnapshotTable(root)
     val r = snap.latestRound.getOrElse(
       throw new IllegalStateException("no crawl state"))
-    snap.loadAppended(spark, "postings", r).agg(
+    snap.loadAppendedOr(spark, "postings", r, PostingsDdl).agg(
       countDistinct(col("term")).as("distinct_terms"),
       countDistinct(col("url")).as("indexed_docs"),
       count(lit(1)).as("postings_rows"))
@@ -790,15 +880,16 @@ object Crawler {
     val r = snap.latestRound.getOrElse(
       throw new IllegalStateException("no crawl state"))
     val m = snap.meta(r)
-    // crawl-round commits stamp frontierSize; reset commits don't (the
-    // new frontier size isn't known there without a count job) — fall
-    // back to an is-non-empty probe of the committed frontier table
-    val running = m.get("frontierSize").map(_.toLong > 0).getOrElse(
-      !snap.loadReplaced(spark, "frontier", r).isEmpty)
+    // every commit flow stamps frontierSize (crawl rounds and resets
+    // alike), so is_running and frontier_size come from ONE consistent
+    // source; pre-stamping snapshots fall back to counting the committed
+    // frontier table — still the same source for both fields, so a
+    // just-reset crawl can never report running=true with size 0
+    val fSize = m.get("frontierSize").map(_.toLong).getOrElse(
+      snap.loadReplaced(spark, "frontier", r).count())
     val last = status(spark, root).orderBy(desc("round")).limit(1)
       .collect().headOption
-    Seq((running, r,
-      last.map(_.getAs[Long]("frontierSize")).getOrElse(0L),
+    Seq((fSize > 0, r, fSize,
       last.map(_.getAs[Long]("seenSize")).getOrElse(0L)))
       .toDF("is_running", "round", "frontier_size", "seen_size")
   }
@@ -810,6 +901,10 @@ object Crawler {
    * and always returns zero rows (with the reference's schema). */
   def inProgress(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
+    // same root validation as every sibling projection: a nonexistent or
+    // uncommitted crawl is an error, not an empty success
+    new SnapshotTable(root).latestRound.getOrElse(
+      throw new IllegalStateException("no crawl state"))
     Seq.empty[(String, String, Long)].toDF("url", "host", "seq")
   }
 
@@ -832,7 +927,7 @@ object Crawler {
     val snap = new SnapshotTable(root)
     val r = snap.latestRound.getOrElse(
       throw new IllegalStateException("no crawl state"))
-    snap.loadAppended(spark, "pages", r)
+    snap.loadAppendedOr(spark, "pages", r, PagesDdl)
       .where(col("url") === url)
       .select("round", "url", "content_type", "raw")
   }
@@ -844,7 +939,7 @@ object Crawler {
     val r = snap.latestRound.getOrElse(
       throw new IllegalStateException("no crawl state"))
     val needle = url.replaceFirst("^https?://", "").stripSuffix("/")
-    val pages = snap.loadAppended(spark, "pages", r)
+    val pages = snap.loadAppendedOr(spark, "pages", r, PagesDdl)
       .select("round", "url", "content_type")
     pages.where(col("url") === url).withColumn("match_kind", lit("exact"))
       .unionByName(
@@ -862,10 +957,11 @@ object Crawler {
     val snap = new SnapshotTable(root)
     val r = snap.latestRound.getOrElse(
       throw new IllegalStateException("no crawl state"))
-    val postings = snap.loadAppended(spark, "postings", r)
+    val postings = snap.loadAppendedOr(spark, "postings", r, PostingsDdl)
       .select("term", "url", "weight", "title")
     val top = SearchIndex.search(postings, query, field, k)
-    val docs = snap.loadAppended(spark, "doc_store", r).select("url", "text")
+    val docs = snap.loadAppendedOr(spark, "doc_store", r, DocStoreDdl)
+      .select("url", "text")
     top.join(docs, Seq("url"), "left_outer")
       .withColumn("snippet",
         concat(substring(coalesce(col("text"), lit("")), 1, 200), lit("...")))
@@ -879,7 +975,7 @@ object Crawler {
     val snap = new SnapshotTable(root)
     val r = snap.latestRound.getOrElse(
       throw new IllegalStateException("no crawl state"))
-    snap.loadAppended(spark, "worker_stats", r)
+    snap.loadAppendedOr(spark, "worker_stats", r, WorkerStatsDdl)
       .groupBy("part_id")
       .agg(sum("processed").as("processed"), sum("completed").as("completed"),
         sum("links_found").as("links_found"), max("round").as("last_heartbeat_round"))
@@ -892,7 +988,7 @@ object Crawler {
     val snap = new SnapshotTable(root)
     val r = snap.latestRound.getOrElse(
       throw new IllegalStateException("no crawl state"))
-    snap.loadAppended(spark, "fetch_log", r)
+    snap.loadAppendedOr(spark, "fetch_log", r, FetchLogDdl)
       .where(col("status").isin("ok", "ok_non_html"))
       .orderBy(desc("round"), desc("seq")).limit(n)
       .select("round", "url", "status")
@@ -936,7 +1032,8 @@ object Crawler {
     if (n == 0) return 0L
 
     var sketch = snap.loadBlob("seen_sketch", r)
-      .map(graft.functions.SeenSketch.deserialize)
+      .flatMap(b => scala.util.Try(
+        graft.functions.SeenSketch.deserialize(b)).toOption)
       .getOrElse(graft.functions.SeenSketch.build(seen, "url",
         cfg.seenSketch, cfg.sketchCapacity))
     val emptyFailed = Seq.empty[(String, String, Int, Int, Long, String)]
@@ -993,7 +1090,14 @@ object Crawler {
         "quarantined" -> Seq.empty[String].toDF("host")) ++
         (if (forget) Map("seen" -> newSeen) else Map.empty),
       appended = Map.empty,
-      meta = Map("nextSeq" -> (nextSeq + (if (forget) 0L else reopened)).toString),
+      // stamp frontierSize like the crawl-round commits do, so statusSummary
+      // reads one consistent source: prior size (stamped by the previous
+      // commit; counted once for pre-stamping snapshots) plus the reopened
+      // set in requeue mode (forget mode leaves the frontier untouched)
+      meta = Map(
+        "nextSeq" -> (nextSeq + (if (forget) 0L else reopened)).toString,
+        "frontierSize" -> (snap.meta(r).get("frontierSize").map(_.toLong)
+          .getOrElse(frontier.count()) + (if (forget) 0L else reopened)).toString),
       blobs = Map("seen_sketch" -> graft.functions.SeenSketch.serialize(sketch)),
       bucketed = Map("frontier" ->
         pmod(xxhash64(col("host")), lit(graft.plans.SnapshotTable.Buckets))),

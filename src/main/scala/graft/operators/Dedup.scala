@@ -121,17 +121,9 @@ object Dedup {
     require(blocks > maxHamming && blocks <= 16,
       s"need maxHamming < blocks <= 16, got maxHamming=$maxHamming blocks=$blocks")
     val m = blocks - maxHamming
-    val combos = (0 until blocks).combinations(m).toSeq
-    require(combos.size <= 128,
-      s"C($blocks, $m) = ${combos.size} tables — pick parameters with <= 128")
-    // block i covers widths(i) bits starting at offsets(i); widths differ
-    // by at most 1 so no block is an easier collision target than another
-    val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    def block(sim: Column, i: Int): Column =
-      shiftrightunsigned(sim, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
-    val keys = combos.map(s =>
-      s.foldLeft(lit(0L))((acc, b) => shiftleft(acc, widths(b)).bitwiseOR(block(col("sim"), b))))
+    val nTables = (0 until blocks).combinations(m).size
+    require(nTables <= 128,
+      s"C($blocks, $m) = $nTables tables — pick parameters with <= 128")
 
     // fingerprints materialize ONCE (eager checkpoint): both sides of the
     // self-join — and the hamming verify — read the tiny (doc, sim) frame
@@ -139,8 +131,14 @@ object Dedup {
     val fp = df.select(col(id).as("doc"),
       sketch.simhash64(gf.tokenize(col(text))).as("sim"))
       .localCheckpoint(true)
+    // all table keys from ONE array-producing expression (block widths/
+    // offsets/combinations resolved inside SketchCodegen): the session
+    // compiles a single call site instead of nTables independent
+    // shift/mask column trees — same keys, ~nTables× less codegen for the
+    // per-query compile (the suite-clock cost the plan itself never had)
     val keyed = fp.select(col("doc"), col("sim"),
-      posexplode(array(keys: _*)).as(Seq("tbl", "key")))
+      posexplode(sketch.simhash_table_keys(col("sim"), blocks, maxHamming))
+        .as(Seq("tbl", "key")))
     val l = keyed.select(col("tbl"), col("key"),
       col("doc").as("id_a"), col("sim").as("sim_a"))
     val r = keyed.select(col("tbl"), col("key"),

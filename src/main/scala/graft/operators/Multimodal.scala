@@ -56,28 +56,36 @@ object Multimodal {
   private[graft] case class WavInfo(sampleRate: Int, channels: Int,
       bitsPerSample: Int, nFrames: Long, dataOffset: Int, dataLen: Int)
 
-  /** RIFF/WAVE chunk walk (PCM only — format tag 1). Pure arithmetic. */
-  private[graft] def wavInfo(b: Array[Byte]): Option[WavInfo] = {
+  /** RIFF/WAVE chunk walk (PCM only — format tag 1). Pure arithmetic over
+   * UNTRUSTED bytes: chunk sizes stay unsigned longs (a 32-bit size read
+   * as Int could go negative and stall or reverse the walk), the cursor is
+   * a strictly-increasing long so a hostile size can neither loop nor
+   * overflow it, the data length is clamped to the payload actually
+   * present, and any residual decode surprise is caught — undecodable
+   * bytes yield None, never a crash or a hung task. */
+  private[graft] def wavInfo(b: Array[Byte]): Option[WavInfo] = try {
     def u16(i: Int) = ((b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8))
     def u32(i: Int) = ((b(i) & 0xFF).toLong | ((b(i + 1) & 0xFF).toLong << 8) |
       ((b(i + 2) & 0xFF).toLong << 16) | ((b(i + 3) & 0xFF).toLong << 24))
     def tag(i: Int) = new String(b, i, 4, "US-ASCII")
     if (b == null || b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var pos = 12
+    var pos = 12L // long cursor: advances by >= 8 per chunk, can't wrap
     var fmt: Option[(Int, Int, Int)] = None // rate, channels, bits
     var data: Option[(Int, Int)] = None     // offset, len
     while (pos + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-      val id = tag(pos)
-      val sz = u32(pos + 4).toInt
-      if (id == "fmt " && pos + 24 <= b.length && u16(pos + 8) == 1)
-        fmt = Some((u32(pos + 12).toInt, u16(pos + 10), u16(pos + 22)))
+      val p = pos.toInt // safe: pos + 8 <= b.length <= Int.MaxValue
+      val id = tag(p)
+      val sz = u32(p + 4) // unsigned: [0, 2^32)
+      if (id == "fmt " && p + 24 <= b.length && u16(p + 8) == 1)
+        fmt = Some((u32(p + 12).toInt, u16(p + 10), u16(p + 22)))
       else if (id == "data")
-        data = Some((pos + 8, math.min(sz, b.length - pos - 8)))
+        data = Some((p + 8, math.max(0L, math.min(sz, b.length.toLong - p - 8)).toInt))
       pos += 8 + sz + (sz & 1) // chunks are word-aligned
     }
-    for ((rate, ch, bits) <- fmt; (off, len) <- data if ch > 0 && bits > 0)
+    for ((rate, ch, bits) <- fmt; (off, len) <- data
+         if ch > 0 && bits > 0 && ch * bits / 8 > 0 && rate > 0)
       yield WavInfo(rate, ch, bits, len.toLong / (ch * bits / 8), off, len)
-  }
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   // ---- image operators ----------------------------------------------------
 

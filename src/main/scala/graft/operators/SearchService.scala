@@ -25,11 +25,16 @@ class SearchService(val root: String) {
   private def reqDir = s"$root/search_requests"
   private def respDir = s"$root/search_responses"
 
+  /** Next spool batch directory. The count prefix keeps the sorted-read
+   * order (later batches sort after earlier ones); the random suffix makes
+   * the name collision-free under CONCURRENT submitters — two writers that
+   * race to the same count still land in distinct directories, and the
+   * req_id-keyed read semantics are order-independent anyway. */
   private def nextBatch(dir: String): String = {
     val p = Paths.get(dir)
     val n = if (Files.isDirectory(p))
       scala.util.Using.resource(Files.list(p))(_.count()) else 0L
-    f"$dir/b$n%05d"
+    f"$dir/b$n%05d-${java.util.UUID.randomUUID.toString.take(8)}"
   }
 
   private def loadAll(spark: SparkSession, dir: String): Option[DataFrame] = {
@@ -78,7 +83,7 @@ class SearchService(val root: String) {
     val snap = new graft.plans.SnapshotTable(crawlRoot)
     val r = snap.latestRound.getOrElse(
       throw new IllegalStateException("no crawl state"))
-    val postings = snap.loadAppended(spark, "postings", r)
+    val postings = snap.loadAppendedOr(spark, "postings", r, Crawler.PostingsDdl)
       .select("term", "url", "weight", "title")
 
     def scoredFor(field: String): DataFrame = {
@@ -108,7 +113,8 @@ class SearchService(val root: String) {
     val ranked = scored.withColumn("rank", row_number().over(perReq).cast("long"))
       .join(broadcast(todo.select("req_id", "k")), Seq("req_id"))
       .where(col("rank") <= col("k"))
-    val docs = snap.loadAppended(spark, "doc_store", r).select("url", "text")
+    val docs = snap.loadAppendedOr(spark, "doc_store", r, Crawler.DocStoreDdl)
+      .select("url", "text")
     ranked.join(docs, Seq("url"), "left_outer")
       .withColumn("snippet",
         concat(substring(coalesce(col("text"), lit("")), 1, 200), lit("...")))

@@ -180,9 +180,20 @@ class SnapshotTable(val root: String) {
     if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
   }
 
+  /** Whether any round ≤ `round` appended data for the table. False is a
+   * legitimate state, not an error: empty appends are skipped at commit
+   * time, so a crawl that (say) never fetched a page has no postings/
+   * pages/doc_store directories at all. Read paths use this to return an
+   * empty schema-correct frame instead of failing. */
+  def hasAppends(name: String, round: Int): Boolean =
+    (0 to round).exists(r => Files.isDirectory(Paths.get(s"$root/data/$name/${rid(r)}")))
+
   /** All appended versions of a table up to and including the round.
    * Rounds that appended nothing write no directory (empty appends are
-   * skipped at commit time) and contribute nothing here. */
+   * skipped at commit time) and contribute nothing here. Check
+   * [[hasAppends]] first when "no round ever wrote this table" is a
+   * legitimate state for the caller (the require here guards against
+   * typo'd table names, not against empty tables). */
   def loadAppended(spark: SparkSession, name: String, round: Int): DataFrame = {
     val dirs = (0 to round).map(r => s"$root/data/$name/${rid(r)}")
       .filter(d => Files.isDirectory(Paths.get(d)))
@@ -191,6 +202,15 @@ class SnapshotTable(val root: String) {
         "(no round produced any rows for it)")
     stripBuckets(spark.read.parquet(dirs: _*))
   }
+
+  /** [[loadAppended]] with a schema-carrying empty-frame fallback for
+   * tables no round has written yet (`ddl` is the table's schema). */
+  def loadAppendedOr(spark: SparkSession, name: String, round: Int,
+                     ddl: String): DataFrame =
+    if (hasAppends(name, round)) loadAppended(spark, name, round)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
 
   private def stripBuckets(df: DataFrame): DataFrame =
     if (df.columns.contains("p_bucket")) df.drop("p_bucket") else df

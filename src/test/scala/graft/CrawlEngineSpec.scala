@@ -129,6 +129,32 @@ class CrawlEngineSpec extends AnyFunSuite {
       engineSeen(rootA, full.rounds - 1))
   }
 
+  test("graceful stop at a round boundary: state == maxRounds cut, resume == uninterrupted") {
+    import spark.implicits._
+    // cooperative stop flag flips once two rounds have committed — the
+    // reference's POST /stop_crawl lifecycle (stop → status shows running
+    // work remains → later start resumes exactly)
+    val root = Files.createTempDirectory("graft-crawl-stop").toString
+    val snap = new SnapshotTable(root)
+    val stopped = Crawler.run(spark, CorpusGen.docs(spark, nDocs), seeds,
+      policies.toDS(), cfg, root,
+      stopRequested = () => snap.latestRound.exists(_ >= 1))
+    assert(stopped.rounds == 2, s"stop flag honored at the round-2 boundary")
+    // stopped state is EXACTLY the maxRounds=2 state
+    val rootM = Files.createTempDirectory("graft-crawl-stopm").toString
+    runEngine(rootM, maxRounds = 2)
+    assert(engineSchedule(root, 1) == engineSchedule(rootM, 1))
+    assert(engineSeen(root, 1) == engineSeen(rootM, 1))
+    // a stopped-but-unfinished crawl still reports running (work remains)
+    assert(Crawler.statusSummary(spark, root).collect()(0)
+      .getAs[Boolean]("is_running"))
+    // resume (no stop flag) completes to the exact uninterrupted schedule
+    val resumed = runEngine(root)
+    assert(engineSchedule(root, resumed.rounds - 1) ==
+      oracleResult.schedule.map(l => (l.round, l.url, l.status)))
+    assert(engineSeen(root, resumed.rounds - 1) == oracleResult.seen.toSet)
+  }
+
   test("problematic-host quarantine stays oracle-exact (F9)") {
     // maxRetries=0 makes every flaky doc exhaust on FIRST dispatch (early,
     // while its host still has queued URLs), and the wider cap/depth reach

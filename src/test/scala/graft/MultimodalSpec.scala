@@ -108,4 +108,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imageMeta(mixed, "media")
       .where(col("meta").isNotNull).count() == 0)
   }
+
+  test("adversarial WAV chunk sizes: None, never a hang or a crash") {
+    // valid RIFF/WAVE magic followed by a chunk whose 32-bit size would be
+    // negative as an Int (0xFFFFFFF8 → -8, word-aligned): a signed walk
+    // would stop advancing (infinite executor loop) or run backwards —
+    // the unsigned long cursor must just skip past the end and give up
+    def hostile(size: Long): Array[Byte] = {
+      val b = new Array[Byte](64)
+      def put(i: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(b, i)
+      put(0, "RIFF"); put(8, "WAVE"); put(12, "junk")
+      var v = size
+      (0 until 4).foreach { i => b(16 + i) = (v & 0xFF).toByte; v >>= 8 }
+      b
+    }
+    for (sz <- Seq(0xFFFFFFF8L, 0xFFFFFFFFL, 0x80000000L, 0x7FFFFFFFL))
+      assert(Multimodal.wavInfo(hostile(sz)).isEmpty, f"size 0x$sz%x")
+    // truncated data chunk: declared length past the payload is clamped,
+    // frame math stays within the bytes actually present
+    val tr = Multimodal.syntheticWav(3L)
+    val cut = java.util.Arrays.copyOf(tr, tr.length - 100)
+    val info = Multimodal.wavInfo(cut)
+    assert(info.nonEmpty && info.get.dataOffset + info.get.dataLen <= cut.length)
+    // a zero sample rate must not divide-by-zero in duration math
+    val zr = tr.clone()
+    (0 until 4).foreach(i => zr(24 + i) = 0) // fmt sample-rate field
+    assert(Multimodal.wavInfo(zr).isEmpty)
+  }
 }

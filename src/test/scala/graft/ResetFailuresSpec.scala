@@ -70,6 +70,13 @@ class ResetFailuresSpec extends AnyFunSuite {
     // failed table is cleared by the reset commit
     assert(failedUrls(root).isEmpty)
 
+    // the reset commit stamps frontierSize like crawl rounds do, so the
+    // /status projection reads ONE consistent source: a drained crawl
+    // that was just reset reports running with the reopened URLs queued
+    val st = Crawler.statusSummary(spark, root).collect()(0)
+    assert(st.getAs[Boolean]("is_running"))
+    assert(st.getAs[Long]("frontier_size") == reopened)
+
     val resetRound = new SnapshotTable(root).latestRound.get
     runEngine(root) // resume
     val snap = new SnapshotTable(root)

@@ -62,6 +62,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("seenDedup equals the batch first-sight dedup on the same feed (within watermark)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic feed: 300 events over 120 distinct urls, event time
+    // strictly increasing (arrival order == event-time order, everything
+    // inside the 1h watermark horizon) — the regime where the incremental
+    // operator must agree EXACTLY with the batch engine's
+    // first-occurrence-wins dedup (D1/D2's min-over-order aggregation,
+    // with event time as the order)
+    val feed = (0 until 300).map(i => (s"u${(i * 7919) % 120}", ts(1000 + i)))
+    val in = MemoryStream[(String, Timestamp)]
+    val out = Streaming.seenDedup(in.toDS().toDF("url", "ts"), "url", "ts")
+    val q = out.writeStream.format("memory").queryName("seen_parity")
+      .outputMode("append").start()
+    try {
+      // several micro-batches, so first sights and duplicates cross
+      // batch boundaries both ways
+      feed.grouped(100).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+      val got = spark.table("seen_parity").select("url", "ts").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime)).sorted.toSeq
+      val want = feed.toDF("url", "ts")
+        .groupBy("url").agg(min("ts").as("ts"))
+        .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime)).sorted.toSeq
+      assert(want.size == 120 && got == want)
+    } finally q.stop()
+  }
+
   test("windowedCounts matches the batch tumbling-window aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
