@@ -142,6 +142,10 @@ object SketchCodegen {
       widths.map(w => if (w >= 64) -1L else (1L << w) - 1)
     val combos: Array[Array[Int]] =
       (0 until blocks).combinations(blocks - maxHamming).map(_.toArray).toArray
+    // per-combination fingerprint mask: the 64-bit region a combination's
+    // blocks cover — a pair collides in table t iff (xor & comboMasks(t)) == 0
+    val comboMasks: Array[Long] =
+      combos.map(c => c.map(b => masks(b) << offsets(b)).reduce(_ | _))
   }
   private val simhashPlans =
     new java.util.concurrent.ConcurrentHashMap[Int, SimhashKeyPlan]()
@@ -171,6 +175,26 @@ object SketchCodegen {
       t += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Index of the FIRST Manku table whose blocks are all clean for a pair
+   * with fingerprint XOR `x` (i.e. the combination's covered bits carry no
+   * error). Any pair within hamming ≤ maxHamming has ≥ 1 clean
+   * combination and collides in EVERY clean combination's table — so
+   * keeping a joined candidate only when its table IS the first clean one
+   * emits each pair exactly once, with no distinct() exchange at all.
+   * Returns -1 when no combination is clean (pair beyond the radius —
+   * already removed by the hamming filter). */
+  def simhashFirstTable(x: Long, blocks: Int, maxHamming: Int): Int = {
+    val plan = simhashPlans.computeIfAbsent(blocks * 64 + maxHamming,
+      _ => new SimhashKeyPlan(blocks, maxHamming))
+    val masks = plan.comboMasks
+    var t = 0
+    while (t < masks.length) {
+      if ((x & masks(t)) == 0L) return t
+      t += 1
+    }
+    -1
   }
 
   /** Exact Jaccard of two DISTINCT-element long arrays (hashed shingle
@@ -265,6 +289,22 @@ case class SimhashTableKeys(child: Expression, blocks: Int, maxHamming: Int)
   override def prettyName: String = "simhash_table_keys"
 }
 
+/** simhash_first_table(xor: long, blocks, maxHamming) → int: first table
+ * index whose block combination is clean for the pair (see
+ * SketchCodegen.simhashFirstTable — the distinct-free pair-dedup). */
+case class SimhashFirstTable(child: Expression, blocks: Int, maxHamming: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(x: Any): Any =
+    SketchCodegen.simhashFirstTable(x.asInstanceOf[Long], blocks, maxHamming)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x =>
+      s"graft.functions.SketchCodegen.simhashFirstTable($x, $blocks, $maxHamming)")
+  override protected def withNewChildInternal(c: Expression): SimhashFirstTable =
+    copy(child = c)
+  override def prettyName: String = "simhash_first_table"
+}
+
 /** hash64_array(tokens: array<string>) → array<long> (stable content hash) */
 case class Hash64Array(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -309,6 +349,8 @@ object sketch {
     GraftShim.column(SimHash64(GraftShim.expression(tokens)))
   def simhash_table_keys(sim: Column, blocks: Int, maxHamming: Int): Column =
     GraftShim.column(SimhashTableKeys(GraftShim.expression(sim), blocks, maxHamming))
+  def simhash_first_table(xor: Column, blocks: Int, maxHamming: Int): Column =
+    GraftShim.column(SimhashFirstTable(GraftShim.expression(xor), blocks, maxHamming))
   def hash64_array(tokens: Column): Column =
     GraftShim.column(Hash64Array(GraftShim.expression(tokens)))
   def rolling_hash64(tokens: Column): Column =

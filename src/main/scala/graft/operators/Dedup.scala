@@ -125,12 +125,13 @@ object Dedup {
     require(nTables <= 128,
       s"C($blocks, $m) = $nTables tables — pick parameters with <= 128")
 
-    // fingerprints materialize ONCE (eager checkpoint): both sides of the
-    // self-join — and the hamming verify — read the tiny (doc, sim) frame
-    // instead of re-running tokenize+simhash per consumer
+    // fingerprints are computed ONCE even without materialization: the
+    // single shared exchange below is the only consumer of this lineage
+    // (both self-join sides reuse it, and the hamming verify reads sims
+    // carried through the shuffle), so tokenize+simhash runs exactly once
+    // per doc — the r3 eager checkpoint became pure overhead and is gone
     val fp = df.select(col(id).as("doc"),
       sketch.simhash64(gf.tokenize(col(text))).as("sim"))
-      .localCheckpoint(true)
     // all table keys from ONE array-producing expression (block widths/
     // offsets/combinations resolved inside SketchCodegen): the session
     // compiles a single call site instead of nTables independent
@@ -139,19 +140,28 @@ object Dedup {
     val keyed = fp.select(col("doc"), col("sim"),
       posexplode(sketch.simhash_table_keys(col("sim"), blocks, maxHamming))
         .as(Seq("tbl", "key")))
+      // ONE explicit exchange on the join keys, shared by both self-join
+      // sides (identical child plans → ReusedExchange): the join reads the
+      // existing hash distribution instead of building two exchanges
+      .repartition(col("tbl"), col("key"))
     val l = keyed.select(col("tbl"), col("key"),
       col("doc").as("id_a"), col("sim").as("sim_a"))
     val r = keyed.select(col("tbl"), col("key"),
       col("doc").as("id_b"), col("sim").as("sim_b"))
     l.join(r, Seq("tbl", "key"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      // filter BEFORE the dedup shuffle: (id_a,id_b) determines hamming, so
-      // the order is semantically free, and chance collisions never enter
-      // the distinct exchange
+      .withColumn("xor_", col("sim_a").bitwiseXOR(col("sim_b")))
+      .withColumn("hamming", bit_count(col("xor_")))
       .where(col("hamming") <= maxHamming)
-      .distinct()
+      // DISTINCT-FREE pair dedup: a within-radius pair collides in every
+      // table whose block combination is clean for it — keep the candidate
+      // only in the FIRST clean table (a pure function of the fingerprint
+      // XOR), so each pair is emitted exactly once with no dedup exchange.
+      // At scale this removes the shuffle of the whole candidate set that
+      // distinct() would pay; chance (far-pair) collisions died at the
+      // hamming filter just above, before any further data movement.
+      .where(col("tbl") === sketch.simhash_first_table(col("xor_"), blocks, maxHamming))
+      .select("id_a", "id_b", "hamming")
   }
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold (baseline / oracle path;

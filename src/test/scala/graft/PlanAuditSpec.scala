@@ -89,6 +89,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"admission pipeline materialized mid-plan:\n$p")
   }
 
+  test("simhash pair join: ONE shared exchange, distinct-free pair dedup (r4 shape)") {
+    // the self-join's two sides must REUSE a single (tbl, key) exchange
+    // (fingerprints computed once, no eager checkpoint), and pair dedup is
+    // the first-clean-table filter — there must be NO aggregate (distinct)
+    // anywhere in the plan. Disable AQE/broadcast so the exchange tree is
+    // inspectable at test scale.
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val p = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries("q_dedup_simhash")(spark, dir)
+        .queryExecution.executedPlan.toString
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    // count real exchange NODES only (a ReusedExchange line repeats the
+    // reused exchange's description text)
+    val tblExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(tbl") && !l.contains("ReusedExchange"))
+    assert(tblExchanges == 1, s"expected ONE shared (tbl,key) exchange, got $tblExchanges:\n$p")
+    assert(p.contains("ReusedExchange"), s"self-join sides do not share the exchange:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"a distinct/aggregate crept back into the pair pipeline:\n$p")
+    assert(p.contains("simhash_first_table"), s"first-clean-table dedup filter missing:\n$p")
+  }
+
   test("minhash LSH shuffles narrow banded rows, not shingle arrays") {
     // the band-bucket self-join must shuffle only (band, bhash, doc-id)
     // rows; the wide shingle arrays join back AFTER candidate pruning.
