@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
  *                the wide shingle arrays are joined back only for the
  *                (tiny) candidate set. LSH misses nothing a bucket shares;
  *                verification makes every emitted pair exactly true.
- *  - simhash:    64-bit fingerprint (custom expression) + banded hamming
- *                join: split 64 bits into `tables` chunks; any pair within
- *                hamming ≤ tables-1 shares at least one chunk (pigeonhole),
- *                so bucket-join on chunks + bit_count verify is exact.
+ *  - simhash:    64-bit fingerprint (custom expression) + Manku
+ *                block-combination tables: any pair within the hamming
+ *                radius shares all blocks of some combination (pigeonhole),
+ *                so a bucket self-join over one shared exchange +
+ *                bit_count verify + first-clean-table dedup is exact —
+ *                with no distinct() exchange anywhere.
  *  - jaccardBrute: exact all-pairs (the small-scale oracle / baseline).
  */
 object Dedup {
