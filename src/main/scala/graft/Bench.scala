@@ -463,10 +463,31 @@ object Bench {
       s""""dispatched":${l.dispatched},"crawl_round_s":${"%.3f".format(l.roundS)},""" +
       s""""fetched":${l.fetched},"extract_docs_per_s":${l.extractThr.round},""" +
       s""""extract_s":${"%.3f".format(l.extractS)}}"""
-    val qJson = queries.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
-      .mkString("{", ",", "}")
+    // pair levels never run the crawl stage — omit its zero fields
+    def lvlJsonCompact(l: Level): String =
+      s"""{"cpus":${l.cpus},"frontier_urls_per_s":${l.thr.round},""" +
+      s""""sched_round_s":${"%.3f".format(l.schedS)},""" +
+      s""""extract_docs_per_s":${l.extractThr.round}}"""
+    def qJson(qs: Iterable[(String, Double)]) =
+      qs.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+        .mkString("{", ",", "}")
     val total = queries.values.sum
-    println(
+    val f2 = p2hi.toDouble / p2lo
+    // machine control for the SAME pair: what the box itself scales
+    // 2→8 with zero Spark/allocation — the ceiling against which the
+    // pair's sched/extract efficiencies should be read
+    lazy val (c2lo, c2hi) = (Seq.fill(2)(cpuControl(p2lo)).max,
+      Seq.fill(2)(cpuControl(p2hi)).max)
+    def pairJson(name: String, cand: Long, p: (Level, Level),
+                 lvl: Level => String): String = {
+      val (a, b) = p
+      s""""$name":{"candidates":$cand,"lo":${lvl(a)},"hi":${lvl(b)},""" +
+      s""""scaling_factor":$f2,""" +
+      s""""scaling_efficiency_sched":${"%.3f".format(b.thr / (f2 * a.thr))},""" +
+      s""""scaling_efficiency_extract":${"%.3f".format(b.extractThr / (f2 * a.extractThr))},""" +
+      s""""scaling_efficiency_cpu_control":${"%.3f".format(c2hi / (f2 * c2lo))}},"""
+    }
+    def body(full: Boolean): String =
       s"""{"metric":"frontier throughput, URLs scheduled+deduped/sec at local[$hi]",""" +
       s""""value":${lvlHi.thr.round},"unit":"urls/sec",""" +
       s""""frontier_candidates":$nCand,"frontier_seen":$nSeen,"corpus_docs":$nDocs,""" +
@@ -476,25 +497,29 @@ object Bench {
       s""""scaling_efficiency_extract":${"%.3f".format(effExtract)},""" +
       s""""scaling_efficiency_crawl":${"%.3f".format(effCrawl)},""" +
       s""""scaling_efficiency_cpu_control":${"%.3f".format(effControl)},""" +
-      {
-        val f2 = p2hi.toDouble / p2lo
-        // machine control for the SAME pair: what the box itself scales
-        // 2→8 with zero Spark/allocation — the ceiling against which the
-        // pair's sched/extract efficiencies should be read
-        lazy val (c2lo, c2hi) = (Seq.fill(2)(cpuControl(p2lo)).max,
-          Seq.fill(2)(cpuControl(p2hi)).max)
-        def pairJson(name: String, cand: Long, p: (Level, Level)): String = {
-          val (a, b) = p
-          s""""$name":{"candidates":$cand,"lo":${lvlJson(a)},"hi":${lvlJson(b)},""" +
-          s""""scaling_factor":$f2,""" +
-          s""""scaling_efficiency_sched":${"%.3f".format(b.thr / (f2 * a.thr))},""" +
-          s""""scaling_efficiency_extract":${"%.3f".format(b.extractThr / (f2 * a.extractThr))},""" +
-          s""""scaling_efficiency_cpu_control":${"%.3f".format(c2hi / (f2 * c2lo))}},"""
-        }
-        pair2.map(pairJson("pair2", nCand, _)).getOrElse("") +
-          pair2Small.map(pairJson("pair2_small", nCand / 2, _)).getOrElse("")
-      } +
-      s""""queries":$qJson,"suite_total_s":${"%.3f".format(total)},""" +
-      s""""suite_compile_pass_s":${"%.3f".format(compilePassS)},"sf":"$sfDir"}""")
+      pair2.map(pairJson("pair2", nCand, _,
+        if (full) lvlJson else lvlJsonCompact)).getOrElse("") +
+      (if (full)
+        pair2Small.map(pairJson("pair2_small", nCand / 2, _, lvlJson)).getOrElse("")
+      else
+        pair2Small.map { case (a, b) =>
+          s""""pair2_small_eff_sched":${"%.3f".format(b.thr / (f2 * a.thr))},"""
+        }.getOrElse("")) +
+      (if (full) s""""queries":${qJson(queries)},"""
+      else {
+        val slow = queries.toSeq.sortBy(-_._2).take(10)
+        s""""queries_slowest":${qJson(slow)},"queries_all":"BENCH_full.json","""
+      }) +
+      s""""suite_total_s":${"%.3f".format(total)},""" +
+      s""""suite_compile_pass_s":${"%.3f".format(compilePassS)},"sf":"$sfDir"}"""
+    // FULL detail goes to a file (the consumer that records this run keeps
+    // only a tail of stdout — a ~2.3k-char line is truncated there, so the
+    // stdout line is trimmed to fit while the file keeps everything)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(
+      env("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")),
+      (body(full = true) + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] BENCH_full.json write failed: $e") }
+    println(body(full = false))
   }
 }

@@ -151,8 +151,11 @@ object SeenSketch {
         mergeCuckooShards(out, urls, column)
         out
       case _ =>
-        val bf = urls.stat.bloomFilter(column, capacity, 0.01)
-        new BloomSeen(bf, capacity, urls.count())
+        // stat.bloomFilter NPEs on zero rows (null aggregate buffer) — a
+        // seedless/fully-seen input must yield an empty sketch, not a crash
+        val n = urls.count()
+        if (n == 0) empty("bloom", capacity)
+        else new BloomSeen(urls.stat.bloomFilter(column, capacity, 0.01), capacity, n)
     }
   }
 
@@ -166,9 +169,15 @@ object SeenSketch {
     sketch match {
       case b: BloomSeen =>
         // spark's stat.bloomFilter is itself a treeAggregate shard build;
-        // same (expectedNumItems, fpp) ⇒ mergeInPlace-compatible layout
-        val delta = urls.stat.bloomFilter(column, b.capacity, 0.01)
-        b.merge(new BloomSeen(delta, b.capacity, count))
+        // same (expectedNumItems, fpp) ⇒ mergeInPlace-compatible layout.
+        // Zero-row delta: stat.bloomFilter NPEs on an empty frame, and an
+        // empty round (seedless submit, all candidates already seen) is
+        // a legal no-op — skip the delta build entirely.
+        if (count == 0) !b.saturated
+        else {
+          val delta = urls.stat.bloomFilter(column, b.capacity, 0.01)
+          b.merge(new BloomSeen(delta, b.capacity, count))
+        }
       case c: CuckooSeen =>
         mergeCuckooShards(c, urls, column)
         !c.saturated
