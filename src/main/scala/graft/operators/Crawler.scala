@@ -173,6 +173,41 @@ object Crawler {
       .drop("_g", "_off", "_r")
   }
 
+  /** Fold a seen-set increment (or the whole set) into its JOIN-OPTIMAL
+   * physical form: hash-partitioned by url at the session's shuffle
+   * partitioning, sorted within partitions, checkpointed. Spark 4's
+   * `localCheckpoint` captures the physical plan's partitioning and
+   * ordering into the resulting `LogicalRDD`, so [[admit]]'s anti-join
+   * right side then satisfies its distribution AND ordering requirements
+   * for free — the 10^10-row seen set of a 100 TB crawl is never
+   * re-shuffled or re-sorted per round. run() maintains seen this way as
+   * an LSM: per-round admitted urls fold into O(admitted)-cost delta
+   * tiers, and the base refolds only when the deltas grow to a fraction
+   * of it (amortized O(1) shuffled rows per admitted url). */
+  def foldSeen(df: DataFrame): DataFrame = {
+    // EXPLICIT partition count: a bare repartition(col) is
+    // REPARTITION_BY_COL, which AQE may coalesce — the checkpoint would
+    // then capture a partition count that no longer matches the
+    // admission side's shuffle and the join re-exchanges the tier,
+    // silently un-doing this whole optimization. The pinned count matches
+    // the session's shuffle partitioning, which is what the candidate
+    // side's ENSURE_REQUIREMENTS exchange produces.
+    val n = scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    // AQE off around the eager checkpoint: when the fold executes through
+    // AdaptiveSparkPlanExec, Spark 4's checkpoint records
+    // UnknownPartitioning instead of the final hashpartitioning(url, n)
+    // (measured — the join then re-exchanges every tier). The fold is one
+    // fixed-width shuffle; AQE has nothing to re-plan in it anyway.
+    val sess = df.sparkSession
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled")
+    try {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      df.repartition(n, col("url")).sortWithinPartitions("url").localCheckpoint(true)
+    } finally sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   // ---- admission gate (shared by seeds and extracted links) ---------------
 
   /**
@@ -190,7 +225,8 @@ object Crawler {
    */
   def admit(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
             hostCounts: DataFrame, cfg: CrawlConfig,
-            seenSketch: Option[graft.functions.SeenSketch]): DataFrame = {
+            seenSketch: Option[graft.functions.SeenSketch],
+            seenDeltas: Seq[DataFrame] = Nil): DataFrame = {
     // intra-batch first-occurrence wins (D2) — deterministic via min over
     // the (ord1, ord2) total order. A hash aggregation (NOT a per-URL
     // window): duplicates of a hot URL combine map-side before the shuffle.
@@ -215,17 +251,28 @@ object Crawler {
     // regression, 437k→378k) and a MEMORY_AND_DISK_SER persist (serialized
     // cache pressure collapses 32-core throughput 467k→385k). PlanAuditSpec
     // locks this shape (two url exchanges, no RDD-scan barrier).
+    // The seen set arrives in TIERS: `seen` is the base (when maintained
+    // via [[foldSeen]] it is url-partitioned+sorted+checkpointed, so this
+    // anti-join needs NO exchange and NO sort on the seen side — the scan
+    // streams checkpoint blocks straight into the merge), and `seenDeltas`
+    // are the per-round folded increments since the last base fold. A ∪ of
+    // the tiers would destroy the co-partitioning; a CHAIN of anti-joins
+    // is set-equivalent (cand ∖ (A ∪ B) = (cand ∖ A) ∖ B) and every link
+    // is exchange-free: anti-join preserves the left side's partitioning
+    // AND its url sort order, so only the first link sorts the candidates.
+    def antiSeen(d: DataFrame): DataFrame =
+      (seen +: seenDeltas).foldLeft(d)((acc, s) =>
+        acc.join(s, Seq("url"), "left_anti"))
     val fresh = seenSketch match {
       case Some(sk) =>
         val bc = spark.sparkContext.broadcast(sk)
         val probed = firstOnly
           .withColumn("maybe_seen_",
             graft.functions.sketch.sketch_contains(col("url"), bc))
-        probed.where(col("maybe_seen_")).drop("maybe_seen_")
-          .join(seen, Seq("url"), "left_anti")
+        antiSeen(probed.where(col("maybe_seen_")).drop("maybe_seen_"))
           .unionByName(probed.where(!col("maybe_seen_")).drop("maybe_seen_"))
       case None =>
-        firstOnly.join(seen, Seq("url"), "left_anti")
+        antiSeen(firstOnly)
     }
 
     val eligible = fresh.where(domainAllowed(col("host"), cfg))
@@ -403,6 +450,23 @@ object Crawler {
     val policyDf = policies.toDF() // host, allow, crawl_delay_s, max_pages
     val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStats]
 
+    // seen LSM (see foldSeen): `seen` becomes the folded base; per-round
+    // admitted urls append as folded delta tiers; the base refolds when
+    // the deltas reach a quarter of it (or the anti-join chain would grow
+    // past 8 links). The parquet hybrid table stays the only durable form
+    // — this is purely the hot-path join layout.
+    seen = foldSeen(seen)
+    var seenDeltas: List[DataFrame] = Nil
+    var seenDeltaRows = 0L
+    def seenAll: DataFrame = seenDeltas.foldLeft(seen)(_ unionByName _)
+    def appendSeenDelta(urls: DataFrame, n: Long, total: Long): Unit = {
+      seenDeltas :+= foldSeen(urls)
+      seenDeltaRows += n
+      if (seenDeltas.length >= 8 || seenDeltaRows * 4 >= total) {
+        seen = foldSeen(seenAll); seenDeltas = Nil; seenDeltaRows = 0
+      }
+    }
+
     var frontierSize = frontier.count()
     var seenSize = seen.count()
 
@@ -440,7 +504,7 @@ object Crawler {
             lit(-1L).as("ord1"), col("idx").as("ord2"))
         val prefilterInj =
           if (seenSize >= sketchThreshold && !sketch.saturated) Some(sketch) else None
-        val adm = admit(spark, cand, seen, hostCounts, cfg, prefilterInj)
+        val adm = admit(spark, cand, seen, hostCounts, cfg, prefilterInj, seenDeltas)
           .select("url", "host", "depth", "retry", "ord1", "ord2")
         val entries = assignSeq(spark, adm, Seq(col("ord1"), col("ord2")), nextSeq)
           .select("url", "host", "depth", "retry", "seq")
@@ -450,7 +514,7 @@ object Crawler {
           hostCountsDirty = true
           nextSeq += nInj
           frontier = frontier.unionByName(entries)
-          seen = seen.unionByName(entries.select("url"))
+          appendSeenDelta(entries.select("url"), nInj, seenSize + nInj)
           pendingSeen = pendingSeen.unionByName(entries.select("url"))
           pendingSeenRows += nInj
           val injCounts = entries.groupBy("host").agg(count(lit(1)).as("inj_cnt"))
@@ -590,7 +654,7 @@ object Crawler {
 
       val prefilter =
         if (seenSize >= sketchThreshold && !sketch.saturated) Some(sketch) else None
-      val admitted = admit(spark, candidates, seen, hostCounts, cfg, prefilter)
+      val admitted = admit(spark, candidates, seen, hostCounts, cfg, prefilter, seenDeltas)
         .select("url", "host", "depth", "retry", "ord1", "ord2")
         .localCheckpoint(true)
 
@@ -610,7 +674,9 @@ object Crawler {
 
       // ---- state updates
       val newFrontier = deferred.unionByName(newEntries)
-      val newSeen = seen.unionByName(admitted.select("url"))
+      if (admittedCount > 0)
+        appendSeenDelta(admitted.select("url"), admittedCount, seenSize + admittedCount)
+      val newSeen = seenAll
 
       // incremental sketch maintenance, DISTRIBUTED: per-partition delta
       // shards over this round's admitted URLs, merged into the running
@@ -805,9 +871,13 @@ object Crawler {
       failedBase = true
 
       // reload from the committed snapshot: truncates lineage and makes the
-      // next round read exactly what a resume would read
+      // next round read exactly what a resume would read. `seen` is NOT
+      // reloaded: its in-memory LSM form (folded base + folded deltas,
+      // all checkpointed ⇒ lineage already truncated) is row-for-row the
+      // parquet hybrid's content, and reloading would re-pay the fold
+      // shuffle every round — the exact cost the LSM exists to avoid. A
+      // resume reads the parquet table and refolds once at startup.
       frontier = snap.loadReplaced(spark, "frontier", round)
-      seen = snap.loadHybrid(spark, "seen", round)
       hostCounts = snap.loadReplaced(spark, "host_counts", round)
       hostSched = snap.loadReplaced(spark, "host_sched", round)
       quarTbl = snap.loadReplaced(spark, "quarantined", round)

@@ -32,16 +32,21 @@ object Similarity {
       .select("qid", "rank", "vec_id", "cos")
   }
 
-  /** Nearest-centroid assignment as a max_by AGGREGATION (one map-side-
-   * combining shuffle keyed by vec_id — no per-vector sort window).
-   * Ties break toward the lowest cell id. Returns (vec_id, v, cell). */
-  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("ccos", vec.cosine_sim(col("v"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cell"), col("v")),
-        struct(col("ccos"), negate(col("cell")))).as("m"))
-      .select(col("vec_id"), col("m.v").as("v"), col("m.cell").as("cell"))
+  /** Nearest-centroid assignment, MAP-ONLY: the centroid table (≤ nCells
+   * rows at any corpus scale) is packed into one array row and broadcast;
+   * each vector picks its cell inside a single codegen'd scalar
+   * (`nearest_cell`, argmax cosine, ties to the lowest cell id). No
+   * shuffle of the corpus at all — the r3 form cross-joined then
+   * re-aggregated by vec_id, a full-corpus shuffle PER LLOYD ROUND at
+   * 100 TB (and ~10 stages of empty-task overhead at bench scale).
+   * Returns (vec_id, v, cell). */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val centArr = centroids.agg(
+      array_sort(collect_list(struct(col("cell"), col("cv")))).as("cents"))
+    vecs.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("v"),
+        vec.nearest_cell(col("v"), col("cents")).as("cell"))
+  }
 
   /** Coarse centroids: deterministic seeding (first nCells vectors by id)
    * refined by `iters` distributed Lloyd rounds (assign → element-wise

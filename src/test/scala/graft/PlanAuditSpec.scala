@@ -89,6 +89,54 @@ class PlanAuditSpec extends AnyFunSuite {
       s"admission pipeline materialized mid-plan:\n$p")
   }
 
+  test("folded seen LSM: anti-join chain adds NO exchange and NO sort on any seen tier") {
+    // run() maintains seen as foldSeen tiers (url-partitioned, sorted,
+    // checkpointed base + per-round deltas). The admission anti-join chain
+    // must consume every tier AS-IS: the only url exchange left in the
+    // plan is the dedup aggregation's own, and the only url sort is the
+    // candidate side's one-time sort — a 10^10-row seen set re-shuffled or
+    // re-sorted per round is the 100 TB cost this shape exists to kill.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cand = spark.range(1000).select(
+      concat(lit("https://h-"), pmod(col("id"), lit(7)),
+        lit(".example.test/p/"), col("id")).as("url"),
+      concat(lit("h-"), pmod(col("id"), lit(7)), lit(".example.test")).as("host"),
+      lit(1).as("depth"), lit(0).as("retry"), col("id").as("ord1"), lit(0).as("ord2"))
+    val base = graft.operators.Crawler.foldSeen(spark.range(5000)
+      .select(concat(lit("https://h-0.example.test/p/"), col("id")).as("url")))
+    val delta = graft.operators.Crawler.foldSeen(spark.range(5000, 5100)
+      .select(concat(lit("https://h-0.example.test/p/"), col("id")).as("url")))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val p = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.operators.Crawler.admit(spark, cand, base,
+        Seq.empty[(String, Long)].toDF("host", "cnt"),
+        CrawlConfig(maxPagesPerDomain = 1000000), None, Seq(delta))
+        .queryExecution.executedPlan.toString
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+    val tierIds = "Scan ExistingRDD\\[url#(\\d+)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(tierIds.size == 2, s"expected both seen tiers as bare checkpoint scans:\n$p")
+    // nothing may be inserted above a tier scan: no exchange and no sort
+    // anywhere in the plan references a tier's url attribute (the
+    // candidate side's own sorts/exchange reference ITS url attribute)
+    tierIds.foreach { id =>
+      assert(!p.contains(s"Exchange hashpartitioning(url#$id"),
+        s"seen tier url#$id re-exchanged:\n$p")
+      assert(!p.contains(s"Sort [url#$id"),
+        s"seen tier url#$id re-sorted:\n$p")
+    }
+    val urlExchanges = "Exchange hashpartitioning\\(url".r.findAllIn(p).size
+    assert(urlExchanges == 1,
+      s"expected ONLY the dedup aggregation's url exchange, got $urlExchanges:\n$p")
+  }
+
   test("simhash pair join: ONE shared exchange, distinct-free pair dedup (r4 shape)") {
     // the self-join's two sides must REUSE a single (tbl, key) exchange
     // (fingerprints computed once, no eager checkpoint), and pair dedup is

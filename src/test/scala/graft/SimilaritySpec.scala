@@ -32,6 +32,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("map-only ivfAssign matches a local exact argmax (ties to lowest cell)") {
+    // centroids: 16 corpus vectors; assignment must equal the local
+    // argmax-cosine with ties broken toward the lowest cell id — the
+    // contract of the codegen'd nearest_cell scalar that replaced the
+    // crossJoin+groupBy(vec_id) shuffle (r3 shape).
+    val cents = emb.orderBy("vec_id").limit(16)
+      .select(col("vec_id").cast("long").as("cell"), col("embedding").as("cv"))
+    val localCents = cents.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val vecs = emb.select(col("vec_id"), col("embedding").as("v"))
+    val got = Similarity.ivfAssign(vecs, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val localVecs = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    localVecs.foreach { case (id, v) =>
+      val want = localCents.map { case (cell, cv) => (cell, localCos(cv, v)) }
+        .sortBy { case (cell, c) => (-c, cell) }.head._1
+      assert(got(id) == want, s"vec $id: got cell ${got(id)}, want $want")
+    }
+    assert(got.size == localVecs.length)
+  }
+
   test("ivfTopK achieves high recall vs brute force (kmeans-refined cells)") {
     val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
