@@ -539,8 +539,10 @@ object Bench {
         }.getOrElse("")) +
       (if (full) s""""queries":${qJson(queries)},"""
       else {
+        // the consumer's contract key is "queries"; the trimmed line keeps
+        // the slowest 10 under that name (full map in BENCH_full.json)
         val slow = queries.toSeq.sortBy(-_._2).take(10)
-        s""""queries_slowest":${qJson(slow)},"queries_all":"BENCH_full.json","""
+        s""""queries":${qJson(slow)},"queries_all":"BENCH_full.json","""
       }) +
       s""""suite_total_s":${"%.3f".format(total)},""" +
       s""""suite_compile_pass_s":${"%.3f".format(compilePassS)},"sf":"$sfDir"}"""
