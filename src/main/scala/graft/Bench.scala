@@ -154,11 +154,11 @@ object Bench {
       // assignSeq's bounds/offsets aggregations read materialized rows
       // instead of re-running the admission tail
       val admitted = Crawler.admit(spark, cand, seen, hostCounts, cfg, Some(sketch))
-        .select("url", "host", "depth", "retry", "ord1", "ord2")
+        .select("url", "host", "depth", "retry", "ord1", "ord2", "host_rank")
         .localCheckpoint(true)
       val entries = Crawler.assignSeq(spark, admitted,
         Seq(col("ord1"), col("ord2")), 0L)
-        .select("url", "host", "depth", "retry", "seq")
+        .select("url", "host", "depth", "retry", "seq", "host_rank")
       val (disp, defer) = Crawler.dispatchSelect(entries, budget, 500L)
       // materialize both sides (a real round consumes both)
       (disp.count(), defer.count())

@@ -295,24 +295,78 @@ object Crawler {
       .where(col("r1") <= lit(cfg.maxPagesPerDomain))
       .drop("r1", "salt_")
     val hostW = Window.partitionBy(col("host")).orderBy(col("ord1"), col("ord2"))
+    // host_rank is KEPT on the output: admitted rows of one batch have
+    // consecutive per-host ranks 1..k in (ord1, ord2) = seq order (the cap
+    // predicate keeps a per-host PREFIX of the rank sequence), which is
+    // exactly the increment the frontier's host_rank invariant needs — the
+    // politeness dispatch is rank-arithmetic over it, never a re-sort
+    // (see dispatchSelect).
     pruned
-      .withColumn("host_rank", row_number().over(hostW))
+      .withColumn("host_rank", row_number().over(hostW).cast(LongType))
       .join(broadcast(hostCounts), Seq("host"), "left_outer")
       .withColumn("prior", coalesce(col("cnt"), lit(0L)))
       .where(col("prior") + col("host_rank") <= lit(cfg.maxPagesPerDomain))
-      .drop("host_rank", "cnt", "prior")
+      .drop("cnt", "prior")
   }
+
+  /** Backfill `host_rank` — per-host consecutive 1..k in seq order — on a
+   * frontier committed by an engine version that predates the column.
+   * One window, paid once at resume time only: every steady-state path
+   * (seeding, admission, dispatch deferral, reset reopen) maintains the
+   * column arithmetically. */
+  private def ensureHostRank(df: DataFrame): DataFrame =
+    if (df.columns.contains("host_rank")) df
+    else df.withColumn("host_rank", row_number()
+      .over(Window.partitionBy(col("host")).orderBy(col("seq"))).cast(LongType))
 
   /**
    * Politeness dispatch selection (T4): split the frontier into this
    * round's dispatched slice (per-host first `remaining` entries in seq
    * order) and the deferred remainder. `budget` has (host, remaining,
-   * allow); hosts absent from it get `defaultRemaining`. Two-phase salted
-   * ranking — see the class doc's skew note. (Same measured-and-rejected
-   * bypass note as admit's cap window.)
+   * allow); hosts absent from it get `defaultRemaining`.
+   *
+   * SORT-FREE on an engine-maintained frontier: the frontier carries
+   * `host_rank` — per-host consecutive 1..k in seq order — so "the first
+   * `rem` per host in seq order" is the pure predicate
+   * `host_rank <= rem`, and the deferred remainder's ranks shift down
+   * arithmetically (`host_rank - rem` is again consecutive from 1). The
+   * per-round dispatch is then ONE hash join (budget) + ONE
+   * materialization: no window, no sort, no per-host serialization at
+   * all — the two salted two-phase window sorts (and their second
+   * checkpoint) that previously ranked the ENTIRE frontier every round
+   * are gone, which is the difference between O(F log F) comparisons +
+   * 2 full-frontier sort exchanges per round and O(F) predicate
+   * evaluations on a 10^10-row frontier. The invariant is maintained
+   * incrementally by every producer: admit() emits batch-local ranks
+   * (its cap window, already paid), deferral shifts, and new entries
+   * offset by the deferred per-host counts. The shuffle_hash hint keeps
+   * Catalyst from picking a sort-merge join (which would re-sort the
+   * frontier and defeat the point); AQE may still upgrade it to
+   * broadcast when the budget side is small.
+   *
+   * A frontier WITHOUT the column (direct API callers, pre-upgrade
+   * snapshots — run() backfills via ensureHostRank at resume) falls back
+   * to the original salted two-phase window ranking.
    */
   def dispatchSelect(frontier: DataFrame, budget: DataFrame,
                      defaultRemaining: Long): (DataFrame, DataFrame) = {
+    if (frontier.columns.contains("host_rank")) {
+      val flagged = frontier
+        .join(budget.hint("shuffle_hash"), Seq("host"), "left_outer")
+        .withColumn("rem_",
+          greatest(coalesce(col("remaining"), lit(defaultRemaining)), lit(0L)))
+        .withColumn("is_dispatched", col("host_rank") <= col("rem_"))
+        // one materialization serves both consumers (fetch join + new
+        // frontier) and the per-host count aggregations over each side
+        .localCheckpoint(true)
+      val dispatched = flagged.where(col("is_dispatched"))
+        .select(col("url"), col("host"), col("depth"), col("retry"), col("seq"),
+          coalesce(col("allow"), lit(true)).as("robots_allow"))
+      val deferred = flagged.where(!col("is_dispatched"))
+        .select(col("url"), col("host"), col("depth"), col("retry"), col("seq"),
+          (col("host_rank") - col("rem_")).as("host_rank"))
+      return (dispatched, deferred)
+    }
     val withRem = frontier
       .join(budget, Seq("host"), "left_outer")
       .withColumn("rem", coalesce(col("remaining"), lit(defaultRemaining)))
@@ -382,6 +436,7 @@ object Crawler {
 
     val emptyFrontier = spark.emptyDataset[FrontierEntry].toDF()
       .select("url", "host", "depth", "retry", "seq")
+      .withColumn("host_rank", lit(0L))
     val emptySeen = Seq.empty[String].toDF("url")
     val emptyCounts = Seq.empty[(String, Long)].toDF("host", "cnt")
     val emptySched = Seq.empty[(String, Long)].toDF("host", "dispatched")
@@ -418,7 +473,7 @@ object Crawler {
               snap.loadHybrid(spark, "seen", r), "url",
               cfg.seenSketch, cfg.sketchCapacity))
           (r + 1, m("nextSeq").toLong,
-            snap.loadReplaced(spark, "frontier", r),
+            ensureHostRank(snap.loadReplaced(spark, "frontier", r)),
             snap.loadHybrid(spark, "seen", r),
             snap.loadReplaced(spark, "host_counts", r),
             snap.loadReplaced(spark, "host_sched", r),
@@ -430,9 +485,12 @@ object Crawler {
               lit(0).as("depth"), lit(0).as("retry"),
               lit(-1L).as("ord1"), col("idx").as("ord2"))
           val admitted = admit(spark, seedCand, emptySeen, emptyCounts, cfg, None)
-          val f0 = assignSeq(spark, admitted.select("url", "host", "depth", "retry", "ord1", "ord2"),
+          // the frontier starts empty, so admit's batch-local host_rank IS
+          // the frontier's host_rank (no deferred offset to add)
+          val f0 = assignSeq(spark,
+            admitted.select("url", "host", "depth", "retry", "ord1", "ord2", "host_rank"),
             Seq(col("ord1"), col("ord2")), 0L)
-            .select("url", "host", "depth", "retry", "seq")
+            .select("url", "host", "depth", "retry", "seq", "host_rank")
             .localCheckpoint(true)
           val s0 = f0.select("url")
           val c0 = f0.groupBy("host").agg(count(lit(1)).as("cnt"))
@@ -505,9 +563,16 @@ object Crawler {
         val prefilterInj =
           if (seenSize >= sketchThreshold && !sketch.saturated) Some(sketch) else None
         val adm = admit(spark, cand, seen, hostCounts, cfg, prefilterInj, seenDeltas)
-          .select("url", "host", "depth", "retry", "ord1", "ord2")
+          .select("url", "host", "depth", "retry", "ord1", "ord2", "host_rank")
+        // injected entries queue BEHIND the host's existing frontier rows:
+        // offset admit's batch-local ranks by the current per-host frontier
+        // counts (one aggregation, injection rounds only)
+        val fCntInj = frontier.groupBy("host").agg(count(lit(1)).as("fc_"))
         val entries = assignSeq(spark, adm, Seq(col("ord1"), col("ord2")), nextSeq)
-          .select("url", "host", "depth", "retry", "seq")
+          .select("url", "host", "depth", "retry", "seq", "host_rank")
+          .join(fCntInj, Seq("host"), "left_outer")
+          .withColumn("host_rank", col("host_rank") + coalesce(col("fc_"), lit(0L)))
+          .drop("fc_")
           .localCheckpoint(true)
         val nInj = entries.count()
         if (nInj > 0) {
@@ -630,11 +695,19 @@ object Crawler {
             .otherwise(array().cast(graft.functions.SpanExtract.schema)))
         .localCheckpoint(true) // parse once; reused by links/doc_store/log
 
-      // ---- timeout requeue (T2/T3): retry+1, terminal past maxRetries
+      // ---- timeout requeue (T2/T3): retry+1, terminal past maxRetries.
+      // Requeues re-enter the frontier, so they need batch-local per-host
+      // ranks for the host_rank invariant. This window runs over the
+      // REQUEUE SET ONLY — bounded by the round's politeness budget per
+      // host (requeues ⊆ dispatched), never the frontier — so it stays
+      // small by construction at any crawl size.
       val timeouts = results.where(col("status") === "timeout")
+      val reqW = Window.partitionBy(col("host")).orderBy(col("seq"))
       val requeue = timeouts.where(col("retry") + 1 <= cfg.maxRetries)
+        .withColumn("lrank_", row_number().over(reqW).cast(LongType))
         .select(col("url"), col("host"), col("depth"),
-          (col("retry") + 1).as("retry"), col("seq").as("ord1"), lit(0).as("ord2"))
+          (col("retry") + 1).as("retry"), col("seq").as("ord1"), lit(0).as("ord2"),
+          col("lrank_"))
       val timeoutFail = timeouts.where(col("retry") + 1 > cfg.maxRetries)
 
       // ---- link expansion: ordered anchors → canonicalize → candidates
@@ -655,17 +728,31 @@ object Crawler {
       val prefilter =
         if (seenSize >= sketchThreshold && !sketch.saturated) Some(sketch) else None
       val admitted = admit(spark, candidates, seen, hostCounts, cfg, prefilter, seenDeltas)
-        .select("url", "host", "depth", "retry", "ord1", "ord2")
+        .select("url", "host", "depth", "retry", "ord1", "ord2", "host_rank")
         .localCheckpoint(true)
 
       // ---- new sequence numbers: timeout requeues go to the back of the
       // queue first (gcloud_master.py:525-531), then children in
       // (parent_seq, link_pos) BFS order (:336).
+      // Batch-local per-host ranks (lrank_) follow the same order:
+      // requeues rank first, admitted rows offset by the host's requeue
+      // count — admit's host_rank is already the admitted-batch rank.
+      val reqCnt = requeue.groupBy("host").agg(count(lit(1)).as("rq_"))
       val adds = requeue.withColumn("bucket", lit(0))
-        .unionByName(admitted.withColumn("bucket", lit(1)))
+        .unionByName(admitted
+          .join(broadcast(reqCnt), Seq("host"), "left_outer")
+          .withColumn("lrank_", col("host_rank") + coalesce(col("rq_"), lit(0L)))
+          .drop("host_rank", "rq_")
+          .withColumn("bucket", lit(1)))
+      // final frontier ranks: new entries queue behind the host's deferred
+      // rows — offset lrank_ by the deferred per-host counts (a partial-agg
+      // count over dispatchSelect's already-materialized output)
+      val defCnt = deferred.groupBy("host").agg(count(lit(1)).as("dc_"))
       val newEntries = assignSeq(spark, adds,
         Seq(col("bucket"), col("ord1"), col("ord2")), nextSeq)
-        .select("url", "host", "depth", "retry", "seq")
+        .join(defCnt, Seq("host"), "left_outer")
+        .withColumn("host_rank", col("lrank_") + coalesce(col("dc_"), lit(0L)))
+        .select("url", "host", "depth", "retry", "seq", "host_rank")
         .localCheckpoint(true)
       val addsCount = newEntries.count()
       nextSeq += addsCount
@@ -1112,14 +1199,23 @@ object Crawler {
     val (newFrontier, newSeen, newHostCounts, reopened) =
       if (!forget) {
         // queue-membership-checked append at the back (cli.py:217-219)
-        val toRetry = failedTbl.join(frontier, Seq("url"), "left_anti")
+        val frontierR = ensureHostRank(frontier)
+        val toRetry = failedTbl.join(frontierR, Seq("url"), "left_anti")
           .select(col("url"), col("host"), col("depth"),
             lit(0).as("retry"), col("seq").as("ord1"), lit(0).as("ord2"))
+        // reopened entries queue behind the host's existing frontier rows:
+        // batch-local rank (reset-time window over the reopened set only)
+        // + current per-host frontier counts (reset-time aggregation)
+        val fCnt = frontierR.groupBy("host").agg(count(lit(1)).as("fc_"))
         val entries = assignSeq(spark, toRetry,
           Seq(col("ord1"), col("ord2")), nextSeq)
-          .select("url", "host", "depth", "retry", "seq")
+          .withColumn("host_rank", row_number()
+            .over(Window.partitionBy(col("host")).orderBy(col("seq"))).cast(LongType))
+          .join(fCnt, Seq("host"), "left_outer")
+          .withColumn("host_rank", col("host_rank") + coalesce(col("fc_"), lit(0L)))
+          .select("url", "host", "depth", "retry", "seq", "host_rank")
           .localCheckpoint(true)
-        (frontier.unionByName(entries), seen, hostCounts, entries.count())
+        (frontierR.unionByName(entries), seen, hostCounts, entries.count())
       } else {
         val shrunk = seen.join(failedTbl.select("url"), Seq("url"), "left_anti")
           .localCheckpoint(true)
