@@ -339,20 +339,33 @@ object Crawler {
    * evaluations on a 10^10-row frontier. The invariant is maintained
    * incrementally by every producer: admit() emits batch-local ranks
    * (its cap window, already paid), deferral shifts, and new entries
-   * offset by the deferred per-host counts. The shuffle_hash hint keeps
-   * Catalyst from picking a sort-merge join (which would re-sort the
-   * frontier and defeat the point); AQE may still upgrade it to
-   * broadcast when the budget side is small.
+   * offset by the deferred per-host counts.
+   *
+   * JOIN STRATEGY, size-gated like the fetch join: the budget side is
+   * per-HOST (one row per policy/dispatch-history host), so when the
+   * caller can bound its row count under `broadcastRowLimit` the budget
+   * is broadcast and the dispatch touches the frontier with NO exchange
+   * at all — a pure map over the checkpointed frontier blocks. run()
+   * maintains that bound for free (policy rows counted once per crawl +
+   * a host_sched count observed during each commit's own write). Past
+   * the limit — 10^8+ distinct hosts — it degrades to a shuffle-hash
+   * join (hinted: a sort-merge join would re-sort the frontier and
+   * defeat the point); AQE may still upgrade it to broadcast at runtime.
    *
    * A frontier WITHOUT the column (direct API callers, pre-upgrade
    * snapshots — run() backfills via ensureHostRank at resume) falls back
    * to the original salted two-phase window ranking.
    */
   def dispatchSelect(frontier: DataFrame, budget: DataFrame,
-                     defaultRemaining: Long): (DataFrame, DataFrame) = {
+                     defaultRemaining: Long,
+                     budgetRowBound: Option[Long] = None,
+                     broadcastRowLimit: Long = 1000000L): (DataFrame, DataFrame) = {
     if (frontier.columns.contains("host_rank")) {
+      val budgetSide =
+        if (budgetRowBound.exists(_ <= broadcastRowLimit)) broadcast(budget)
+        else budget.hint("shuffle_hash")
       val flagged = frontier
-        .join(budget.hint("shuffle_hash"), Seq("host"), "left_outer")
+        .join(budgetSide, Seq("host"), "left_outer")
         .withColumn("rem_",
           greatest(coalesce(col("remaining"), lit(defaultRemaining)), lit(0L)))
         .withColumn("is_dispatched", col("host_rank") <= col("rem_"))
@@ -506,6 +519,15 @@ object Crawler {
     // broadcast hint (build-left is illegal for left_outer) — AQE broadcasts
     // the legal side on its own
     val policyDf = policies.toDF() // host, allow, crawl_delay_s, max_pages
+    // dispatch budget-side row bound (per-HOST rows: policy ∪ dispatch
+    // history). policy rows counted once per crawl; hostSchedSize updated
+    // per round from an observation on the commit's own host_sched write
+    // (zero extra jobs). Gates dispatchSelect's broadcast-vs-shuffle choice.
+    val policyRows = policyDf.count()
+    var hostSchedSize: Long = snap.latestRound match {
+      case Some(_) => hostSched.count() // once, at resume only
+      case None => 0L
+    }
     val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStats]
 
     // seen LSM (see foldSeen): `seen` becomes the folded base; per-round
@@ -611,13 +633,12 @@ object Crawler {
       val defaultTotal =
         math.floor((round + 1) * cfg.roundSeconds / cfg.defaultCrawlDelayS).toLong
 
-      // two-phase dispatch selection (hot-host skew defense, same pattern
-      // as admit's cap window): phase 1 ranks within (host, salt) and
-      // immediately defers rows past the host's remaining budget — for a
-      // host holding half the frontier this is S-way parallel and leaves
-      // ≤ S·rem rows; phase 2 ranks those per host to pick the true first
-      // `rem` in seq order.
-      val (dispatchedRaw, deferred) = dispatchSelect(frontier, budget, defaultTotal)
+      // dispatch selection: sort-free rank-arithmetic split over the
+      // frontier's maintained host_rank (see dispatchSelect — one hash
+      // join + one materialization, no window over the frontier; the
+      // budget side broadcasts while its host count stays bounded).
+      val (dispatchedRaw, deferred) = dispatchSelect(frontier, budget, defaultTotal,
+        Some(policyRows + hostSchedSize), cfg.broadcastRowLimit)
       // problematic-domain quarantine (F9, gcloud_crawler.py:242-253):
       // fetches to quarantined hosts short-circuit as failures. The flag is
       // stamped at dispatch (quarantine table is per-host and tiny —
@@ -889,8 +910,13 @@ object Crawler {
       // the manifest points at the round that last wrote them, no data
       // moves. This is the round's fixed-cost floor at sandbox scale and
       // the write-amplification bound at 100 TB.
+      // host_sched row count observed during the commit's own write (same
+      // zero-extra-pass pattern as the postings index stats) — feeds the
+      // next round's dispatch broadcast gate
+      val schedObs = new org.apache.spark.sql.Observation()
       val replacedTables = scala.collection.mutable.Map[String, DataFrame](
-        "frontier" -> newFrontier, "host_sched" -> newHostSched)
+        "frontier" -> newFrontier,
+        "host_sched" -> newHostSched.observe(schedObs, count(lit(1)).as("n")))
       val carriedTables = scala.collection.mutable.Map.empty[String, Int]
       if (hostCountsDirty || !failedBase) replacedTables += "host_counts" -> newHostCounts
       else carriedTables += "host_counts" -> (round - 1)
@@ -956,6 +982,24 @@ object Crawler {
       pendingSeen = emptySeen
       pendingSeenRows = 0L
       failedBase = true
+      // the observed host_sched write completed inside commit, so get()
+      // resolves within moments; the bounded wait runs on a DEDICATED
+      // DAEMON thread (same pattern as the idxObs metaLate wait — an
+      // unfired listener must never hang the round), and any miss falls
+      // back to a safe OVER-bound (hosts can only have grown by this
+      // round's dispatched rows), so the broadcast gate never
+      // under-estimates the budget side
+      hostSchedSize = (try {
+        val p = scala.concurrent.Promise[Map[String, Any]]()
+        val t = new Thread(() => p.tryComplete(scala.util.Try(schedObs.get)),
+          "graft-sched-obs-wait")
+        t.setDaemon(true)
+        t.start()
+        scala.concurrent.Await.result(p.future,
+          scala.concurrent.duration.Duration(10, "s"))
+          .get("n").map(_.asInstanceOf[Long])
+      } catch { case scala.util.control.NonFatal(_) => None })
+        .getOrElse(hostSchedSize + nDispatched)
 
       // reload from the committed snapshot: truncates lineage and makes the
       // next round read exactly what a resume would read. `seen` is NOT

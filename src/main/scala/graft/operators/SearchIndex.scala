@@ -45,7 +45,20 @@ object SearchIndex {
              k: Int = 10): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val terms = "[a-z0-9_]+".r.findAllIn(query.toLowerCase).toSeq.toDF("term")
+    val termSeq = "[a-z0-9_]+".r.findAllIn(query.toLowerCase).toSeq
+    val terms = termSeq.toDF("term")
+
+    // `term isin <query terms>` is a plain predicate on the postings
+    // aggregate's GROUPING KEY, so Catalyst pushes it below the groupBy —
+    // all the way under the token explode when postings() is composed
+    // inline — and the index-build shuffle carries only the handful of
+    // matching-term rows instead of every token of every document. The
+    // broadcast join alone cannot be pushed through the aggregate; the
+    // semantics are identical (scores only ever involve matched terms,
+    // and the join still multiplies duplicated query terms).
+    def matched = (if (termSeq.isEmpty) postings
+      else postings.where(col("term").isin(termSeq.distinct: _*)))
+      .join(broadcast(terms), Seq("term"))
 
     val scored = field match {
       case "url" =>
@@ -55,12 +68,12 @@ object SearchIndex {
           .groupBy("url")
           .agg(sum(lit(1.0)).as("score"), first("title").as("title"))
       case "title" =>
-        postings.join(broadcast(terms), Seq("term"))
+        matched
           .where(array_contains(gf.tokenize(col("title")), col("term")))
           .groupBy("url")
           .agg(sum("weight").as("score"), first("title").as("title"))
       case _ =>
-        postings.join(broadcast(terms), Seq("term"))
+        matched
           .groupBy("url")
           .agg(sum("weight").as("score"), first("title").as("title"))
     }

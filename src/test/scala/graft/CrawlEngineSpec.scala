@@ -350,6 +350,36 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(engineSeen(root, s.rounds - 1) == oracleResult.seen.toSet)
   }
 
+  test("dispatchSelect: sort-free rank-arithmetic path == windowed fallback, both join variants") {
+    import spark.implicits._
+    // frontier honoring the host_rank invariant (per-host consecutive 1..k
+    // in seq order); budget exercises: capped host, zero budget, NEGATIVE
+    // remaining (must clamp, not corrupt deferred ranks), absent host
+    // (default), allow=false passthrough
+    val rows = for {
+      (h, k) <- Seq(("a", 5), ("b", 3), ("c", 4), ("d", 2))
+      i <- 1 to k
+    } yield (s"https://$h/p$i", h, 1, 0, (h.hashCode.toLong % 97) * 100 + i, i.toLong)
+    val frontier = rows.toDF("url", "host", "depth", "retry", "seq", "host_rank")
+    val budget = Seq(("a", 2L, true), ("b", 0L, true), ("c", -3L, false))
+      .toDF("host", "remaining", "allow")
+    def normalize(d: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) = (
+      d._1.select("url", "robots_allow").collect().map(r => (r.getString(0), r.getBoolean(1))).toSet,
+      d._2.select("url").collect().map(_.getString(0)).toSet)
+    val fast = normalize(Crawler.dispatchSelect(frontier, budget, 1L))
+    val fastBc = normalize(Crawler.dispatchSelect(frontier, budget, 1L, Some(3L), 1000000L))
+    val fallback = normalize(Crawler.dispatchSelect(
+      frontier.drop("host_rank"), budget, 1L))
+    assert(fast == fallback)
+    assert(fastBc == fallback)
+    // deferred ranks stay the per-host consecutive 1..k invariant
+    val (_, defer) = Crawler.dispatchSelect(frontier, budget, 1L, Some(3L))
+    val ranks = defer.select("host", "seq", "host_rank").collect()
+      .groupBy(_.getString(0))
+      .map { case (h, rs) => h -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    ranks.values.foreach(seq => assert(seq == (1L to seq.length).toSeq))
+  }
+
   test("output is invariant to shuffle partitioning (salt-/parallelism-independence)") {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val rootA = Files.createTempDirectory("graft-crawl-p3").toString
