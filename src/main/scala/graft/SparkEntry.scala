@@ -389,22 +389,63 @@ object SparkEntry {
           operators.TextAnalysis.rollingFingerprint(col("text")).as("rfp"))
     }),
 
-    // multimodal pipeline over REAL media: deterministic PNG (even ids) /
-    // WAV (odd ids) bytes synthesized per doc, then genuinely decoded
-    // (javax.imageio headers / RIFF parse), images resized through
-    // Graphics2D, audio duration from the PCM frame count. rows-only for
-    // the driver (DuckDB has no codecs); value-level goldens live in
-    // MultimodalSpec (decode(resize(x)) dims, histograms, PCM samples).
+    // Adler-32-style rolling fingerprint over token values: the
+    // oracle-checkable member of the fingerprint family (rsync/zlib
+    // checksum structure, arithmetic both engines share bit-for-bit)
+    "q_rolling_fingerprint_sql" -> ((s, dir) => {
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"),
+          operators.TextAnalysis.adlerFingerprint(col("text")).as("rfp"))
+    }),
+
+    // the Manku simhash bucket machinery (table keys, pigeonhole bucket
+    // join, first-clean-table dedup) oracle-checked against a brute-force
+    // hamming join: fingerprints are synthesized DETERMINISTICALLY from
+    // doc_id with arithmetic both engines share, near-dup pairs injected
+    // at hamming 3 (kept) and hamming 4 (a must-be-excluded control)
+    "q_dedup_simhash_sql" -> ((s, dir) => {
+      val base = s.read.parquet(t(dir, "documents")).select(col("doc_id"))
+        .withColumn("fp",
+          (col("doc_id") * lit(2654435761L)) % lit(4294967296L) +
+            ((col("doc_id") * lit(40503L) + lit(12345L)) % lit(1048576L)) *
+              lit(4294967296L))
+      val copies = base.where(col("doc_id") < 40)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          when(col("doc_id") % 2 === 0, col("fp").bitwiseXOR(lit(37L)))
+            .otherwise(col("fp").bitwiseXOR(lit(15L))).as("fp"))
+      operators.Dedup.simhashPairsFromFp(
+        base.unionByName(copies)
+          .select(col("doc_id").as("doc"), col("fp").as("sim")),
+        maxHamming = 3, blocks = 6)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    // multimodal pipeline over REAL media: deterministic PNG / WAV /
+    // MJPEG-AVI bytes synthesized per doc (round-robin by id), then
+    // genuinely decoded (javax.imageio headers / RIFF parse for both WAV
+    // and AVI), images resized through Graphics2D, audio duration from the
+    // PCM frame count, video frames sampled and JPEG-decoded. rows-only
+    // for the driver (DuckDB has no codecs); value-level goldens live in
+    // MultimodalSpec (decode(resize(x)) dims, histograms, PCM samples,
+    // per-frame decode goldens).
     "q_media_pipeline" -> ((s, dir) => {
       val base = s.read.parquet(t(dir, "documents")).select("doc_id")
-      val withMedia = operators.Multimodal.syntheticMedia(base, "doc_id")
+      val withMedia = operators.Multimodal.syntheticMedia3(base, "doc_id")
       val img = operators.Multimodal.resizeImage(
         operators.Multimodal.imageMeta(withMedia, "media"), "media", 24)
-      val both = operators.Multimodal.audioMeta(img, "media")
-      both.select(col("doc_id"),
-        coalesce(col("meta.format"), col("audio_meta.format")).as("format"),
-        col("resized.width").as("width"), col("resized.height").as("height"),
-        col("audio_meta.duration_ms").as("duration_ms"),
+      val av = operators.Multimodal.videoFrameSample(
+        operators.Multimodal.videoMeta(
+          operators.Multimodal.audioMeta(img, "media"), "media"),
+        "media", everyK = 2)
+      av.select(col("doc_id"),
+        coalesce(col("meta.format"), col("audio_meta.format"),
+          col("video_meta.format")).as("format"),
+        coalesce(col("resized.width"), col("video_meta.width")).as("width"),
+        coalesce(col("resized.height"), col("video_meta.height")).as("height"),
+        coalesce(col("audio_meta.duration_ms"), col("video_meta.duration_ms"))
+          .as("duration_ms"),
+        coalesce(col("video_meta.n_frames"), lit(0L)).as("n_frames"),
+        coalesce(size(col("frames")), lit(0)).cast("long").as("frames_sampled"),
         length(col("media")).cast("long").as("n_bytes"))
     }),
 
@@ -711,6 +752,39 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "q_rolling_fingerprint_sql" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+        |                             x -> x != '') AS ts
+        |  FROM documents
+        |), vals AS (
+        |  SELECT doc_id, len(ts)::BIGINT AS n,
+        |    list_transform(ts, t -> (ascii(t) + 131 * length(t)
+        |      + 7 * ascii(substr(t, length(t), 1)))::BIGINT) AS vs
+        |  FROM toks
+        |)
+        |SELECT doc_id,
+        |  CAST(((n + coalesce(list_sum(list_transform(generate_series(1, n),
+        |          i -> (n - i + 1) * vs[i])), 0)) % 65521) * 65536
+        |    + ((1 + coalesce(list_sum(vs), 0)) % 65521) AS BIGINT) AS rfp
+        |FROM vals""".stripMargin,
+    "q_dedup_simhash_sql" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    (doc_id * 2654435761) % 4294967296
+        |      + ((doc_id * 40503 + 12345) % 1048576) * 4294967296 AS fp
+        |  FROM documents
+        |), allv AS (
+        |  SELECT doc_id, fp FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    CASE WHEN doc_id % 2 = 0 THEN xor(fp, 37) ELSE xor(fp, 15) END
+        |  FROM base WHERE doc_id < 40
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM allv a JOIN allv b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
     "q_dedup_jaccard_pairs" -> jaccardPairsSqlFor(" WHERE doc_id < 500"),
     // the LSH path is exact-verified and tuned for P(miss) < 1e-8 at the
     // threshold, so its oracle is the same brute-force pair set

@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration knob (driver leaves it unset): restrict to a
+    // comma-separated subset of query names
+    val only = sys.env.getOrElse("SPARK_GRAFT_VERIFY_ONLY", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
+    val chosen = if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only).toMap
+    chosen.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

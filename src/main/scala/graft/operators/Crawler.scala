@@ -319,6 +319,91 @@ object Crawler {
     else df.withColumn("host_rank", row_number()
       .over(Window.partitionBy(col("host")).orderBy(col("seq"))).cast(LongType))
 
+  /** Bounded wait for an Observation's metrics on a DEDICATED DAEMON
+   * thread (Await does not cancel an abandoned future — on the global pool
+   * it would pin a pool thread forever). The observed write has always
+   * finished before callers wait, so this resolves promptly; any failure
+   * (listener never fired) degrades to None so metrics can never hang or
+   * abort a commit whose table writes succeeded. */
+  private def awaitObs(o: org.apache.spark.sql.Observation,
+                       seconds: Int): Option[Map[String, Any]] =
+    try {
+      val p = scala.concurrent.Promise[Map[String, Any]]()
+      val t = new Thread(() => p.tryComplete(scala.util.Try(o.get)), "graft-obs-wait")
+      t.setDaemon(true)
+      t.start()
+      Some(scala.concurrent.Await.result(p.future,
+        scala.concurrent.duration.Duration(seconds, "s")))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Convert a legacy (pre-LSM) frontier — live rows only, `host_rank`
+   * RELATIVE (per-host 1..k over the live set) or absent — to the absolute
+   * enqueue-rank form: abs = relative + rows of that host already
+   * dispatched. Paid once at resume/reset of an old snapshot only. */
+  private def toAbsRanks(df: DataFrame, hostSched: DataFrame): DataFrame =
+    ensureHostRank(df)
+      .join(hostSched, Seq("host"), "left_outer")
+      .withColumn("host_rank",
+        col("host_rank") + coalesce(col("dispatched"), lit(0L)))
+      .drop("dispatched")
+
+  /** Live rows of a RAW (absolute-rank) frontier view: a row is live iff
+   * its absolute enqueue rank lies past the host's dispatch total —
+   * dispatch always consumes a per-host PREFIX of the rank sequence, so
+   * `host_rank > dispatched(host)` is exact, with no tombstones and no
+   * per-row state. */
+  private def liveRows(frontierRaw: DataFrame, hostSched: DataFrame): DataFrame =
+    frontierRaw
+      .join(hostSched, Seq("host"), "left_outer")
+      .where(col("host_rank") > coalesce(col("dispatched"), lit(0L)))
+      .drop("dispatched")
+
+  /**
+   * LSM-frontier dispatch (T4 at the 10^10-row design point). Input is the
+   * RAW frontier view — live rows ∪ rows dispatched in earlier rounds —
+   * whose `host_rank` is the per-host ABSOLUTE enqueue rank (consecutive
+   * 1..k in seq order over every row ever enqueued for the host, dead or
+   * alive). With disp = rows of the host dispatched so far (the same
+   * dispatch history the politeness budget is computed from), liveness and
+   * politeness collapse into ONE predicate:
+   *
+   *   dispatched this round  ⇔  disp < host_rank ≤ disp + remaining
+   *
+   * The deferred remainder is NEVER touched: not re-ranked (the shift is
+   * absorbed into next round's larger disp), not materialized, and above
+   * all not rewritten — the round's whole frontier cost is one read pass
+   * over the raw view plus an O(dispatched) checkpoint, vs the previous
+   * design's O(frontier) eager checkpoint AND O(frontier) replaced-table
+   * write per round. That is the difference between per-round I/O
+   * proportional to the politeness budget and per-round I/O proportional
+   * to a 10^10-row frontier.
+   *
+   * `budget` carries (host, remaining, allow, disp_total); hosts absent
+   * from it default to (defaultRemaining, allow, 0). Join strategy is
+   * size-gated exactly like [[dispatchSelect]]: broadcast under the bound,
+   * hinted shuffle-hash past it.
+   */
+  def dispatchSelectAbs(frontierRaw: DataFrame, budget: DataFrame,
+                        defaultRemaining: Long,
+                        budgetRowBound: Option[Long] = None,
+                        broadcastRowLimit: Long = 1000000L): DataFrame = {
+    val budgetSide =
+      if (budgetRowBound.exists(_ <= broadcastRowLimit)) broadcast(budget)
+      else budget.hint("shuffle_hash")
+    frontierRaw
+      .join(budgetSide, Seq("host"), "left_outer")
+      .withColumn("disp_", coalesce(col("disp_total"), lit(0L)))
+      .withColumn("rem_",
+        greatest(coalesce(col("remaining"), lit(defaultRemaining)), lit(0L)))
+      .where(col("host_rank") > col("disp_") &&
+        col("host_rank") <= col("disp_") + col("rem_"))
+      .select(col("url"), col("host"), col("depth"), col("retry"), col("seq"),
+        coalesce(col("allow"), lit(true)).as("robots_allow"))
+      // one materialization, O(dispatched): the slice is consumed by the
+      // fetch join, the missing anti-join, and the dispatch-count agg
+      .localCheckpoint(true)
+  }
+
   /**
    * Politeness dispatch selection (T4): split the frontier into this
    * round's dispatched slice (per-host first `remaining` entries in seq
@@ -447,9 +532,6 @@ object Crawler {
     import spark.implicits._
     val snap = new SnapshotTable(root)
 
-    val emptyFrontier = spark.emptyDataset[FrontierEntry].toDF()
-      .select("url", "host", "depth", "retry", "seq")
-      .withColumn("host_rank", lit(0L))
     val emptySeen = Seq.empty[String].toDF("url")
     val emptyCounts = Seq.empty[(String, Long)].toDF("host", "cnt")
     val emptySched = Seq.empty[(String, Long)].toDF("host", "dispatched")
@@ -467,53 +549,93 @@ object Crawler {
     // `seen` is a HYBRID table: O(admitted) appended per round (a 10^10
     // seen set must never be rewritten per round), with replace commits
     // only at compactions/resets (SnapshotTable.loadHybrid).
+    // The FRONTIER is a hybrid (LSM) table too, as of r5: `frontier` holds
+    // the RAW view — live rows ∪ rows dispatched in earlier rounds — with
+    // ABSOLUTE per-host enqueue ranks; a row is live iff host_rank >
+    // dispatched(host), so dispatch never rewrites the deferred remainder
+    // (see dispatchSelectAbs). `hostEnq` (host → rows ever enqueued)
+    // supplies the rank offsets new entries queue behind.
     var sketch: graft.functions.SeenSketch = null
     // seed URLs not yet covered by any committed seen append (first round
     // of a fresh crawl appends them together with its admitted links)
     var pendingSeen = emptySeen
     var pendingSeenRows = 0L
-    var (round, nextSeq, frontier, seen, hostCounts, hostSched, quarTbl) =
-      snap.latestRound match {
-        case Some(r) =>
-          val m = snap.meta(r)
-          // a missing OR unreadable (pre-v2 layout) blob falls back to a
-          // rebuild from the seen table — resume must never be forfeited
-          // over a sketch, which is reconstructible state by definition
-          sketch = snap.loadBlob("seen_sketch", r)
-            .flatMap(b => scala.util.Try(
-              graft.functions.SeenSketch.deserialize(b)).toOption)
-            .getOrElse(graft.functions.SeenSketch.build(
-              snap.loadHybrid(spark, "seen", r), "url",
-              cfg.seenSketch, cfg.sketchCapacity))
-          (r + 1, m("nextSeq").toLong,
-            ensureHostRank(snap.loadReplaced(spark, "frontier", r)),
-            snap.loadHybrid(spark, "seen", r),
-            snap.loadReplaced(spark, "host_counts", r),
-            snap.loadReplaced(spark, "host_sched", r),
-            snap.loadReplaced(spark, "quarantined", r))
-        case None =>
-          val seedCand = seedUrls.zipWithIndex.toDF("url", "idx")
-            .select(col("url"),
-              gf.url_policy_host(col("url")).as("host"),
-              lit(0).as("depth"), lit(0).as("retry"),
-              lit(-1L).as("ord1"), col("idx").as("ord2"))
-          val admitted = admit(spark, seedCand, emptySeen, emptyCounts, cfg, None)
-          // the frontier starts empty, so admit's batch-local host_rank IS
-          // the frontier's host_rank (no deferred offset to add)
-          val f0 = assignSeq(spark,
-            admitted.select("url", "host", "depth", "retry", "ord1", "ord2", "host_rank"),
-            Seq(col("ord1"), col("ord2")), 0L)
-            .select("url", "host", "depth", "retry", "seq", "host_rank")
-            .localCheckpoint(true)
-          val s0 = f0.select("url")
-          val c0 = f0.groupBy("host").agg(count(lit(1)).as("cnt"))
-          val nSeed = f0.count()
-          sketch = graft.functions.SeenSketch.empty(cfg.seenSketch, cfg.sketchCapacity)
-          graft.functions.SeenSketch.addAll(sketch, s0, "url", nSeed)
-          pendingSeen = s0
-          pendingSeenRows = nSeed
-          (0, nSeed, f0, s0, c0, emptySched, emptyQuar)
-      }
+    var round = 0
+    var nextSeq = 0L
+    var frontier: DataFrame = null
+    var seen: DataFrame = null
+    var hostCounts: DataFrame = null
+    var hostSched: DataFrame = null
+    var quarTbl: DataFrame = null
+    var hostEnq: DataFrame = null
+    var frontierSize = 0L
+    var seenSizeKnown: Option[Long] = None
+    snap.latestRound match {
+      case Some(r) =>
+        val m = snap.meta(r)
+        // a missing OR unreadable (pre-v2 layout) blob falls back to a
+        // rebuild from the seen table — resume must never be forfeited
+        // over a sketch, which is reconstructible state by definition
+        sketch = snap.loadBlob("seen_sketch", r)
+          .flatMap(b => scala.util.Try(
+            graft.functions.SeenSketch.deserialize(b)).toOption)
+          .getOrElse(graft.functions.SeenSketch.build(
+            snap.loadHybrid(spark, "seen", r), "url",
+            cfg.seenSketch, cfg.sketchCapacity))
+        round = r + 1
+        nextSeq = m("nextSeq").toLong
+        seen = snap.loadHybrid(spark, "seen", r)
+        hostCounts = snap.loadReplaced(spark, "host_counts", r)
+        hostSched = snap.loadReplaced(spark, "host_sched", r)
+        quarTbl = snap.loadReplaced(spark, "quarantined", r)
+        seenSizeKnown = m.get("seenSize").map(_.toLong)
+        val rawF = snap.loadHybrid(spark, "frontier", r)
+        if (m.get("frontierAbsRank").contains("1")) {
+          frontier = rawF
+          hostEnq = snap.loadReplaced(spark, "host_enq", r)
+          frontierSize = m("frontierSize").toLong // abs commits always stamp it
+        } else {
+          // legacy replace-format snapshot: live rows only, relative (or
+          // absent) ranks — convert once; host_enq derives from live counts
+          // + the dispatch history
+          frontier = toAbsRanks(rawF, hostSched)
+          hostEnq = frontier.groupBy("host").agg(count(lit(1)).as("enq"))
+            .join(hostSched, Seq("host"), "full_outer")
+            .select(col("host"), (coalesce(col("enq"), lit(0L)) +
+              coalesce(col("dispatched"), lit(0L))).as("enq"))
+          frontierSize = m.get("frontierSize").map(_.toLong).getOrElse(rawF.count())
+        }
+      case None =>
+        val seedCand = seedUrls.zipWithIndex.toDF("url", "idx")
+          .select(col("url"),
+            gf.url_policy_host(col("url")).as("host"),
+            lit(0).as("depth"), lit(0).as("retry"),
+            lit(-1L).as("ord1"), col("idx").as("ord2"))
+        val admitted = admit(spark, seedCand, emptySeen, emptyCounts, cfg, None)
+        // the frontier starts empty, so admit's batch-local host_rank IS
+        // the absolute host_rank (nothing enqueued before, nothing dispatched)
+        val f0 = assignSeq(spark,
+          admitted.select("url", "host", "depth", "retry", "ord1", "ord2", "host_rank"),
+          Seq(col("ord1"), col("ord2")), 0L)
+          .select("url", "host", "depth", "retry", "seq", "host_rank")
+          .localCheckpoint(true)
+        val s0 = f0.select("url")
+        val c0 = f0.groupBy("host").agg(count(lit(1)).as("cnt"))
+        val nSeed = f0.count()
+        sketch = graft.functions.SeenSketch.empty(cfg.seenSketch, cfg.sketchCapacity)
+        graft.functions.SeenSketch.addAll(sketch, s0, "url", nSeed)
+        pendingSeen = s0
+        pendingSeenRows = nSeed
+        nextSeq = nSeed
+        frontier = f0
+        seen = s0
+        hostCounts = c0
+        hostSched = emptySched
+        quarTbl = emptyQuar
+        hostEnq = c0.select(col("host"), col("cnt").as("enq"))
+        frontierSize = nSeed
+        seenSizeKnown = Some(nSeed)
+    }
 
     // tiny per-host table; joined as the LEFT of outer joins, so no explicit
     // broadcast hint (build-left is illegal for left_outer) — AQE broadcasts
@@ -527,6 +649,13 @@ object Crawler {
     var hostSchedSize: Long = snap.latestRound match {
       case Some(_) => hostSched.count() // once, at resume only
       case None => 0L
+    }
+    // host_enq row bound for the rank-offset joins (same gate pattern;
+    // maintained per round from an observation on the commit's own write).
+    // Fresh crawls use the seed count as a safe over-bound (hosts ≤ seeds).
+    var hostEnqSize: Long = snap.latestRound match {
+      case Some(_) => hostEnq.count() // once, at resume only
+      case None => frontierSize
     }
     val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStats]
 
@@ -547,8 +676,12 @@ object Crawler {
       }
     }
 
-    var frontierSize = frontier.count()
-    var seenSize = seen.count()
+    var seenSize = seenSizeKnown.getOrElse(seen.count())
+    // frontier-LSM bookkeeping: dead rows accumulated in the STORED raw
+    // table since its last base rewrite, and delta tiers appended since —
+    // the compaction triggers (see the commit block)
+    var frontierDeadRows = 0L
+    var frontierTiers = 0
 
     // a saturated sketch (reloaded from a saturated blob, or seeds past
     // capacity) must never serve as the admission prefilter — rebuild at
@@ -576,7 +709,16 @@ object Crawler {
       // per-host cap) and appended at the back of the queue before this
       // round's dispatch — the reference's add-seeds-to-running-crawl flow.
       val injectedSeeds = seedFeed(round)
+      val traceT0 = System.nanoTime() // SPARK_GRAFT_CRAWL_TRACE=1 timing
+      var traceCommitT = 0L
       var hostCountsDirty = false // host_counts is carried unless this round admitted
+      // rank-offset side for new entries: gated broadcast of the per-host
+      // enqueue totals (same size class and gate as the dispatch budget)
+      def enqSide: DataFrame =
+        if (hostEnqSize <= cfg.broadcastRowLimit) broadcast(hostEnq)
+        else hostEnq.hint("shuffle_hash")
+      var injectedEntries: Option[DataFrame] = None
+      var nInjected = 0L
       if (injectedSeeds.nonEmpty) {
         val cand = injectedSeeds.zipWithIndex.toDF("url", "idx")
           .select(col("url"), gf.url_policy_host(col("url")).as("host"),
@@ -586,21 +728,23 @@ object Crawler {
           if (seenSize >= sketchThreshold && !sketch.saturated) Some(sketch) else None
         val adm = admit(spark, cand, seen, hostCounts, cfg, prefilterInj, seenDeltas)
           .select("url", "host", "depth", "retry", "ord1", "ord2", "host_rank")
-        // injected entries queue BEHIND the host's existing frontier rows:
-        // offset admit's batch-local ranks by the current per-host frontier
-        // counts (one aggregation, injection rounds only)
-        val fCntInj = frontier.groupBy("host").agg(count(lit(1)).as("fc_"))
+        // injected entries queue BEHIND everything the host ever enqueued:
+        // absolute rank = per-host enqueue total + admit's batch-local rank
+        // (a broadcast join — the O(frontier) per-host count aggregation
+        // the relative-rank design paid on injection rounds is gone)
         val entries = assignSeq(spark, adm, Seq(col("ord1"), col("ord2")), nextSeq)
           .select("url", "host", "depth", "retry", "seq", "host_rank")
-          .join(fCntInj, Seq("host"), "left_outer")
-          .withColumn("host_rank", col("host_rank") + coalesce(col("fc_"), lit(0L)))
-          .drop("fc_")
+          .join(enqSide, Seq("host"), "left_outer")
+          .withColumn("host_rank", col("host_rank") + coalesce(col("enq"), lit(0L)))
+          .drop("enq")
           .localCheckpoint(true)
         val nInj = entries.count()
         if (nInj > 0) {
           hostCountsDirty = true
           nextSeq += nInj
           frontier = frontier.unionByName(entries)
+          injectedEntries = Some(entries)
+          nInjected = nInj
           appendSeenDelta(entries.select("url"), nInj, seenSize + nInj)
           pendingSeen = pendingSeen.unionByName(entries.select("url"))
           pendingSeenRows += nInj
@@ -608,6 +752,10 @@ object Crawler {
           hostCounts = hostCounts.join(injCounts, Seq("host"), "full_outer")
             .select(col("host"), (coalesce(col("cnt"), lit(0L)) +
               coalesce(col("inj_cnt"), lit(0L))).as("cnt"))
+          hostEnq = hostEnq.join(injCounts, Seq("host"), "full_outer")
+            .select(col("host"), (coalesce(col("enq"), lit(0L)) +
+              coalesce(col("inj_cnt"), lit(0L))).as("enq"))
+          hostEnqSize += nInj // safe over-bound until the commit observation
           graft.functions.SeenSketch.addAll(sketch, entries.select("url"), "url", nInj)
           seenSize += nInj
           frontierSize += nInj // keep the broadcast-gate bound exact
@@ -629,15 +777,16 @@ object Crawler {
               lit(cfg.defaultCrawlDelayS))))
         .withColumn("remaining",
           col("total_allowed") - coalesce(col("dispatched"), lit(0L)))
-        .select(col("host"), col("remaining"), col("allow"))
+        .select(col("host"), col("remaining"), col("allow"),
+          coalesce(col("dispatched"), lit(0L)).as("disp_total"))
       val defaultTotal =
         math.floor((round + 1) * cfg.roundSeconds / cfg.defaultCrawlDelayS).toLong
 
-      // dispatch selection: sort-free rank-arithmetic split over the
-      // frontier's maintained host_rank (see dispatchSelect — one hash
-      // join + one materialization, no window over the frontier; the
-      // budget side broadcasts while its host count stays bounded).
-      val (dispatchedRaw, deferred) = dispatchSelect(frontier, budget, defaultTotal,
+      // dispatch selection over the RAW LSM frontier (see dispatchSelectAbs
+      // — one hash join + one O(dispatched) materialization; liveness and
+      // politeness are a single rank predicate; the deferred remainder is
+      // never touched; the budget side broadcasts while bounded).
+      val dispatchedRaw = dispatchSelectAbs(frontier, budget, defaultTotal,
         Some(policyRows + hostSchedSize), cfg.broadcastRowLimit)
       // problematic-domain quarantine (F9, gcloud_crawler.py:242-253):
       // fetches to quarantined hosts short-circuit as failures. The flag is
@@ -645,9 +794,9 @@ object Crawler {
       // broadcast), takes effect the round AFTER a host is quarantined
       // (BSP boundary normalization of the reference's immediate set-add),
       // and still consumes the dispatch slot.
-      // dispatchedRaw is a cheap filter over dispatchSelect's checkpointed
-      // phase-2 output, and the quarantine stamp is a broadcast hash join —
-      // consumers below re-run only that narrow tail, so no further
+      // dispatchedRaw is already checkpointed (O(dispatched)) inside
+      // dispatchSelectAbs, and the quarantine stamp is a broadcast hash
+      // join — consumers below re-run only that narrow tail, so no further
       // materialization is needed
       val dispatched = dispatchedRaw
         .join(broadcast(quarTbl.withColumn("quar_", lit(true))), Seq("host"), "left_outer")
@@ -765,14 +914,14 @@ object Crawler {
           .withColumn("lrank_", col("host_rank") + coalesce(col("rq_"), lit(0L)))
           .drop("host_rank", "rq_")
           .withColumn("bucket", lit(1)))
-      // final frontier ranks: new entries queue behind the host's deferred
-      // rows — offset lrank_ by the deferred per-host counts (a partial-agg
-      // count over dispatchSelect's already-materialized output)
-      val defCnt = deferred.groupBy("host").agg(count(lit(1)).as("dc_"))
+      // final ABSOLUTE frontier ranks: new entries queue behind everything
+      // the host ever enqueued — lrank_ + the per-host enqueue total (a
+      // gated-broadcast join; equal to the old deferred-count offset plus
+      // the dispatch history, which the liveness predicate subtracts back)
       val newEntries = assignSeq(spark, adds,
         Seq(col("bucket"), col("ord1"), col("ord2")), nextSeq)
-        .join(defCnt, Seq("host"), "left_outer")
-        .withColumn("host_rank", col("lrank_") + coalesce(col("dc_"), lit(0L)))
+        .join(enqSide, Seq("host"), "left_outer")
+        .withColumn("host_rank", col("lrank_") + coalesce(col("enq"), lit(0L)))
         .select("url", "host", "depth", "retry", "seq", "host_rank")
         .localCheckpoint(true)
       val addsCount = newEntries.count()
@@ -780,8 +929,9 @@ object Crawler {
       // seen grows by admitted only (requeues are already-seen URLs)
       val admittedCount = admitted.count() // cheap: checkpointed
 
-      // ---- state updates
-      val newFrontier = deferred.unionByName(newEntries)
+      // ---- state updates (the deferred remainder needs NONE: its rows sit
+      // untouched in the raw LSM view; next round's larger dispatch totals
+      // shift their effective ranks arithmetically)
       if (admittedCount > 0)
         appendSeenDelta(admitted.select("url"), admittedCount, seenSize + admittedCount)
       val newSeen = seenAll
@@ -823,6 +973,12 @@ object Crawler {
       val newHostSched = hostSched.join(dispatchedCounts, Seq("host"), "full_outer")
         .select(col("host"),
           (coalesce(col("dispatched"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("dispatched"))
+      // per-host enqueue totals grow by this round's new entries (requeues
+      // included — they re-enter at fresh absolute ranks)
+      val addCounts = newEntries.groupBy("host").agg(count(lit(1)).as("add_"))
+      val newHostEnq = hostEnq.join(addCounts, Seq("host"), "full_outer")
+        .select(col("host"), (coalesce(col("enq"), lit(0L)) +
+          coalesce(col("add_"), lit(0L))).as("enq"))
 
       // ---- lineage + docs-for-indexing (S7/S9: fetch_log + doc_store).
       // part_id records which executor partition fetched/extracted the row
@@ -889,9 +1045,8 @@ object Crawler {
       val nFailed = n("failed") + n("skipped_robots") + n("quarantined") + timeoutExhausted
       val nCompleted = n("ok") + n("ok_non_html")
       val nRequeued = n("timeout") - timeoutExhausted
-      // no count job: dispatchSelect PARTITIONS the frontier (dispatched ∪
-      // deferred, disjoint), so the new size is pure arithmetic — the
-      // commit-time write is the only action that touches newFrontier
+      // no count job: dispatch consumes a per-host prefix of the live set,
+      // so the new live size is pure arithmetic
       frontierSize = frontierSize - nDispatched + addsCount
       seenSize = seenSize + admittedCount
       if (admittedCount > 0) hostCountsDirty = true
@@ -901,23 +1056,45 @@ object Crawler {
       val nOkHtml = n("ok")
 
       // ---- commit round snapshot (T6): atomic manifest = round boundary.
-      // frontier: replaced, physically host-hash bucketed (the rule's
-      // `bucket(N, host_hash)` partitioned priority frontier). Per-round
-      // write cost tracks what CHANGED, not accumulated table sizes:
-      // `seen`/`failed` APPEND this round's delta only, empty appends are
-      // skipped entirely, and unchanged replaced tables (host_counts with
-      // no admissions, quarantined with no new exhaustions) are CARRIED —
-      // the manifest points at the round that last wrote them, no data
-      // moves. This is the round's fixed-cost floor at sandbox scale and
-      // the write-amplification bound at 100 TB.
-      // host_sched row count observed during the commit's own write (same
-      // zero-extra-pass pattern as the postings index stats) — feeds the
-      // next round's dispatch broadcast gate
+      // Per-round write cost tracks what CHANGED, not accumulated table
+      // sizes: `seen`/`failed` APPEND this round's delta only, the FRONTIER
+      // is an LSM hybrid — this round's new entries append as a delta tier
+      // (physically host-hash bucketed, the rule's `bucket(N, host_hash)`
+      // partitioned priority frontier), the base is rewritten (compacted to
+      // live rows) only when dead rows outgrow live rows or the tier chain
+      // gets long — and unchanged replaced tables (host_counts with no
+      // admissions, quarantined with no new exhaustions) are CARRIED: the
+      // manifest points at the round that last wrote them, no data moves.
+      // Per-round frontier bytes written are therefore ∝ (admitted +
+      // requeued), never ∝ frontier size — the write-amplification bound
+      // that makes a 10^10-row frontier commit-able every round.
+      // host_sched/host_enq row counts observed during the commit's own
+      // writes (same zero-extra-pass pattern as the postings index stats)
+      // — they feed the next round's broadcast gates.
       val schedObs = new org.apache.spark.sql.Observation()
+      val enqObs = new org.apache.spark.sql.Observation()
       val replacedTables = scala.collection.mutable.Map[String, DataFrame](
-        "frontier" -> newFrontier,
         "host_sched" -> newHostSched.observe(schedObs, count(lit(1)).as("n")))
       val carriedTables = scala.collection.mutable.Map.empty[String, Int]
+      val appendFrontier = injectedEntries match {
+        case Some(ie) => ie.unionByName(newEntries)
+        case None => newEntries
+      }
+      frontierDeadRows += nDispatched
+      val frontierCompact =
+        !failedBase || frontierDeadRows > frontierSize || frontierTiers >= 64
+      if (frontierCompact) {
+        // base rewrite: live rows only (dead prefixes drop out), absolute
+        // ranks preserved — O(live), amortized against the dead rows shed
+        replacedTables += "frontier" ->
+          liveRows(frontier.unionByName(newEntries), newHostSched)
+        frontierDeadRows = 0
+        frontierTiers = 0
+      }
+      val enqDirty = addsCount > 0 || nInjected > 0
+      if (enqDirty || !failedBase)
+        replacedTables += "host_enq" -> newHostEnq.observe(enqObs, count(lit(1)).as("n"))
+      else carriedTables += "host_enq" -> (round - 1)
       if (hostCountsDirty || !failedBase) replacedTables += "host_counts" -> newHostCounts
       else carriedTables += "host_counts" -> (round - 1)
       if (timeoutExhausted > 0 || !failedBase) replacedTables += "quarantined" -> newQuar
@@ -925,6 +1102,10 @@ object Crawler {
 
       val appendedTables = scala.collection.mutable.Map[String, DataFrame](
         "counters" -> Seq(rs).toDS().toDF().coalesce(1))
+      if (!frontierCompact && addsCount + nInjected > 0) {
+        appendedTables += "frontier" -> appendFrontier
+        frontierTiers += 1
+      }
       if (!failedBase) replacedTables += "failed" -> failedNow
       else if (nFailed > 0) appendedTables += "failed" -> failedNow
       if (admittedCount > 0 || pendingSeenRows > 0)
@@ -947,71 +1128,65 @@ object Crawler {
           approx_count_distinct(col("url")).as("docs"),
           count(lit(1)).as("postings"))
       }
+      traceCommitT = System.nanoTime()
       snap.commit(spark, round,
         replaced = replacedTables.toMap,
         appended = appendedTables.toMap,
         meta = Map("nextSeq" -> nextSeq.toString,
-          "frontierSize" -> frontierSize.toString),
+          "frontierSize" -> frontierSize.toString,
+          "seenSize" -> seenSize.toString,
+          // marks the frontier's rank semantics (absolute enqueue ranks +
+          // hybrid commits); resume converts legacy snapshots without it
+          "frontierAbsRank" -> "1"),
         blobs = Map("seen_sketch" -> graft.functions.SeenSketch.serialize(sketch)),
         bucketed = Map(
           "frontier" -> pmod(xxhash64(col("host")), lit(graft.plans.SnapshotTable.Buckets))),
         carried = carriedTables.toMap,
-        metaLate = () => idxObs.map { o =>
-          // the observed write finished before metaLate runs, so get()
-          // returns promptly; a bounded wait guards the (unexpected) case
-          // of the metrics listener never firing. The wait runs on a
-          // DEDICATED DAEMON thread (Await does not cancel an abandoned
-          // future — on the global pool it would pin a pool thread
-          // forever), and ANY failure degrades to stats-less meta: index
-          // stats must never abort a commit whose table writes succeeded.
-          try {
-            val p = scala.concurrent.Promise[Map[String, Any]]()
-            val t = new Thread(() => p.tryComplete(scala.util.Try(o.get)),
-              "graft-idx-obs-wait")
-            t.setDaemon(true)
-            t.start()
-            val m = scala.concurrent.Await.result(p.future,
-              scala.concurrent.duration.Duration(60, "s"))
-            Map("idx_new_terms_approx" -> m("terms").toString,
-              "idx_new_docs_approx" -> m("docs").toString,
-              "idx_new_postings" -> m("postings").toString)
-          } catch {
-            case scala.util.control.NonFatal(_) => Map.empty[String, String]
-          }
-        }.getOrElse(Map.empty))
+        // index stats from the observed postings write (see awaitObs): any
+        // failure degrades to stats-less meta — metrics must never abort a
+        // commit whose table writes succeeded
+        metaLate = () => idxObs.flatMap(o => awaitObs(o, 60)).map(m =>
+          Map("idx_new_terms_approx" -> m("terms").toString,
+            "idx_new_docs_approx" -> m("docs").toString,
+            "idx_new_postings" -> m("postings").toString))
+          .getOrElse(Map.empty))
       pendingSeen = emptySeen
       pendingSeenRows = 0L
-      failedBase = true
-      // the observed host_sched write completed inside commit, so get()
-      // resolves within moments; the bounded wait runs on a DEDICATED
-      // DAEMON thread (same pattern as the idxObs metaLate wait — an
-      // unfired listener must never hang the round), and any miss falls
-      // back to a safe OVER-bound (hosts can only have grown by this
-      // round's dispatched rows), so the broadcast gate never
-      // under-estimates the budget side
-      hostSchedSize = (try {
-        val p = scala.concurrent.Promise[Map[String, Any]]()
-        val t = new Thread(() => p.tryComplete(scala.util.Try(schedObs.get)),
-          "graft-sched-obs-wait")
-        t.setDaemon(true)
-        t.start()
-        scala.concurrent.Await.result(p.future,
-          scala.concurrent.duration.Duration(10, "s"))
-          .get("n").map(_.asInstanceOf[Long])
-      } catch { case scala.util.control.NonFatal(_) => None })
+      // the observed host_sched/host_enq writes completed inside commit, so
+      // the bounded waits resolve within moments; any miss falls back to a
+      // safe OVER-bound (hosts can only have grown by this round's rows),
+      // so the broadcast gates never under-estimate their build sides
+      val traceObsT = System.nanoTime()
+      hostSchedSize = awaitObs(schedObs, 10)
+        .flatMap(_.get("n").map(_.asInstanceOf[Long]))
         .getOrElse(hostSchedSize + nDispatched)
+      if (enqDirty || !failedBase)
+        hostEnqSize = awaitObs(enqObs, 10)
+          .flatMap(_.get("n").map(_.asInstanceOf[Long]))
+          .getOrElse(hostEnqSize + addsCount)
+      if (sys.env.get("SPARK_GRAFT_CRAWL_TRACE").contains("1"))
+        System.err.println(f"[crawl-trace] round=$round obsWait=" +
+          f"${(System.nanoTime() - traceObsT) / 1e9}%.2f")
+      failedBase = true
 
       // reload from the committed snapshot: truncates lineage and makes the
       // next round read exactly what a resume would read. `seen` is NOT
       // reloaded: its in-memory LSM form (folded base + folded deltas,
       // all checkpointed ⇒ lineage already truncated) is row-for-row the
       // parquet hybrid's content, and reloading would re-pay the fold
-      // shuffle every round — the exact cost the LSM exists to avoid. A
-      // resume reads the parquet table and refolds once at startup.
-      frontier = snap.loadReplaced(spark, "frontier", round)
+      // shuffle every round — the exact cost the LSM exists to avoid. The
+      // frontier reloads as its RAW hybrid view (base + delta tiers).
+      frontier = snap.loadHybrid(spark, "frontier", round)
       hostCounts = snap.loadReplaced(spark, "host_counts", round)
       hostSched = snap.loadReplaced(spark, "host_sched", round)
+      hostEnq = snap.loadReplaced(spark, "host_enq", round)
       quarTbl = snap.loadReplaced(spark, "quarantined", round)
+      if (sys.env.get("SPARK_GRAFT_CRAWL_TRACE").contains("1")) {
+        val now = System.nanoTime()
+        System.err.println(f"[crawl-trace] round=$round wall=${(now - traceT0) / 1e9}%.2f " +
+          f"commit=${(now - traceCommitT) / 1e9}%.2f disp=$nDispatched adds=$addsCount " +
+          f"fsize=$frontierSize tiers=$frontierTiers dead=$frontierDeadRows compact=$frontierCompact")
+      }
       round += 1
     }
     CrawlSummary(round, stats.toSeq)
@@ -1088,10 +1263,14 @@ object Crawler {
     // just-reset crawl can never report running=true with size 0
     val fSize = m.get("frontierSize").map(_.toLong).getOrElse(
       snap.loadReplaced(spark, "frontier", r).count())
-    val last = status(spark, root).orderBy(desc("round")).limit(1)
-      .collect().headOption
-    Seq((fSize > 0, r, fSize,
-      last.map(_.getAs[Long]("seenSize")).getOrElse(0L)))
+    // seen_size reads the SAME commit's meta stamp (crawl rounds and resets
+    // both stamp it), so a forget-reset that shrinks the seen set is
+    // reflected immediately — the last crawl round's counters row (the
+    // pre-stamping fallback) would show the stale pre-reset count
+    val seenSz = m.get("seenSize").map(_.toLong).getOrElse(
+      status(spark, root).orderBy(desc("round")).limit(1)
+        .collect().headOption.map(_.getAs[Long]("seenSize")).getOrElse(0L))
+    Seq((fSize > 0, r, fSize, seenSz))
       .toDF("is_running", "round", "frontier_size", "seen_size")
   }
 
@@ -1116,9 +1295,20 @@ object Crawler {
     val snap = new SnapshotTable(root)
     val r = snap.latestRound.getOrElse(
       throw new IllegalStateException("no crawl state"))
-    snap.loadReplaced(spark, "frontier", r)
+    liveFrontier(spark, snap, r)
       .orderBy(desc("seq")).limit(n)
       .select("url", "host", "depth", "seq")
+  }
+
+  /** The LIVE frontier at a committed round: the raw hybrid view filtered
+   * by the dispatch-prefix liveness predicate (abs-rank snapshots), or the
+   * replace-format table as-is (legacy snapshots hold live rows only). */
+  private def liveFrontier(spark: SparkSession, snap: SnapshotTable,
+                           r: Int): DataFrame = {
+    val raw = snap.loadHybrid(spark, "frontier", r)
+    if (snap.meta(r).get("frontierAbsRank").contains("1"))
+      liveRows(raw, snap.loadReplaced(spark, "host_sched", r))
+    else raw
   }
 
   /** Raw-page point lookup (J6, /get_html — templates/app.py:807-904):
@@ -1219,8 +1409,21 @@ object Crawler {
     val snap = new SnapshotTable(root)
     val r = snap.latestRound.getOrElse(
       throw new IllegalStateException("no crawl state to reset"))
-    val nextSeq = snap.meta(r)("nextSeq").toLong
-    val frontier = snap.loadReplaced(spark, "frontier", r)
+    val m0 = snap.meta(r)
+    val nextSeq = m0("nextSeq").toLong
+    // frontier views (LSM): raw = base + delta tiers with absolute ranks
+    // (legacy replace-format snapshots are normalized here, once); live =
+    // rows past the per-host dispatch prefix
+    val absFmt = m0.get("frontierAbsRank").contains("1")
+    val sched = snap.loadReplaced(spark, "host_sched", r)
+    val frontierRaw0 = snap.loadHybrid(spark, "frontier", r)
+    val frontierRaw = if (absFmt) frontierRaw0 else toAbsRanks(frontierRaw0, sched)
+    val live = if (absFmt) liveRows(frontierRaw, sched) else frontierRaw
+    val hostEnq = if (absFmt) snap.loadReplaced(spark, "host_enq", r)
+      else live.groupBy("host").agg(count(lit(1)).as("enq"))
+        .join(sched, Seq("host"), "full_outer")
+        .select(col("host"), (coalesce(col("enq"), lit(0L)) +
+          coalesce(col("dispatched"), lit(0L))).as("enq"))
     val seen = snap.loadHybrid(spark, "seen", r)
     val hostCounts = snap.loadReplaced(spark, "host_counts", r)
     val failedTbl = snap.loadHybrid(spark, "failed", r)
@@ -1240,26 +1443,31 @@ object Crawler {
     val emptyFailed = Seq.empty[(String, String, Int, Int, Long, String)]
       .toDF("url", "host", "depth", "retry", "seq", "error")
 
-    val (newFrontier, newSeen, newHostCounts, reopened) =
+    val priorSeenSize = m0.get("seenSize").map(_.toLong)
+    val (entriesOpt, newSeen, newHostCounts, newHostEnq, reopened) =
       if (!forget) {
-        // queue-membership-checked append at the back (cli.py:217-219)
-        val frontierR = ensureHostRank(frontier)
-        val toRetry = failedTbl.join(frontierR, Seq("url"), "left_anti")
+        // queue-membership-checked append at the back (cli.py:217-219):
+        // membership is against the LIVE frontier (a failed URL's dead raw
+        // row is its past dispatch, not queue membership)
+        val toRetry = failedTbl.join(live, Seq("url"), "left_anti")
           .select(col("url"), col("host"), col("depth"),
             lit(0).as("retry"), col("seq").as("ord1"), lit(0).as("ord2"))
-        // reopened entries queue behind the host's existing frontier rows:
+        // reopened entries queue behind everything the host ever enqueued:
         // batch-local rank (reset-time window over the reopened set only)
-        // + current per-host frontier counts (reset-time aggregation)
-        val fCnt = frontierR.groupBy("host").agg(count(lit(1)).as("fc_"))
+        // + the per-host enqueue totals
         val entries = assignSeq(spark, toRetry,
           Seq(col("ord1"), col("ord2")), nextSeq)
           .withColumn("host_rank", row_number()
             .over(Window.partitionBy(col("host")).orderBy(col("seq"))).cast(LongType))
-          .join(fCnt, Seq("host"), "left_outer")
-          .withColumn("host_rank", col("host_rank") + coalesce(col("fc_"), lit(0L)))
+          .join(hostEnq, Seq("host"), "left_outer")
+          .withColumn("host_rank", col("host_rank") + coalesce(col("enq"), lit(0L)))
           .select("url", "host", "depth", "retry", "seq", "host_rank")
           .localCheckpoint(true)
-        (frontierR.unionByName(entries), seen, hostCounts, entries.count())
+        val entryCounts = entries.groupBy("host").agg(count(lit(1)).as("add_"))
+        val enq2 = hostEnq.join(entryCounts, Seq("host"), "full_outer")
+          .select(col("host"), (coalesce(col("enq"), lit(0L)) +
+            coalesce(col("add_"), lit(0L))).as("enq"))
+        (Some(entries), seen, hostCounts, enq2, entries.count())
       } else {
         val shrunk = seen.join(failedTbl.select("url"), Seq("url"), "left_anti")
           .localCheckpoint(true)
@@ -1279,14 +1487,30 @@ object Crawler {
             cap *= 4
           } while (sketch.saturated)
         }
-        // inverse of admission: give the hosts their cap budget back
+        // inverse of admission: give the hosts their cap budget back.
+        // host_enq is NOT decremented — it is a rank high-water mark, not
+        // a budget; shrinking it would collide future absolute ranks.
         val dec = failedTbl.groupBy("host").agg(count(lit(1)).as("dec"))
         val counts = hostCounts.join(dec, Seq("host"), "left_outer")
           .select(col("host"),
             greatest(col("cnt") - coalesce(col("dec"), lit(0L)), lit(0L)).as("cnt"))
-        (frontier, shrunk, counts, n)
+        (None, shrunk, counts, hostEnq, n)
       }
 
+    // frontier commit shape (LSM): on an abs-format snapshot, requeue mode
+    // APPENDS the reopened entries as a delta tier and forget mode writes
+    // nothing at all; a legacy snapshot is normalized by ONE replace with
+    // the converted live rows (∪ entries). host_enq rides along: carried
+    // when untouched, replaced otherwise.
+    val frontierAppend: Map[String, DataFrame] =
+      if (absFmt && entriesOpt.isDefined && reopened > 0)
+        Map("frontier" -> entriesOpt.get)
+      else Map.empty
+    val frontierReplace: Map[String, DataFrame] =
+      if (!absFmt)
+        Map("frontier" -> entriesOpt.fold(frontierRaw)(frontierRaw.unionByName))
+      else Map.empty
+    val enqChanged = !absFmt || (entriesOpt.isDefined && reopened > 0)
     // requeue mode leaves `seen` untouched (no commit entry — prior appends
     // stay visible); forget mode REPLACES it with the shrunken set, which
     // doubles as a compaction point for the hybrid append chain. Both modes
@@ -1294,24 +1518,31 @@ object Crawler {
     // rides the same reset flow, gcloud_crawler.py:770-790).
     snap.commit(spark, r + 1,
       replaced = Map(
-        "frontier" -> newFrontier,
         "host_counts" -> newHostCounts,
         "failed" -> emptyFailed, // replace = the hybrid chain's compaction point
         "quarantined" -> Seq.empty[String].toDF("host")) ++
-        (if (forget) Map("seen" -> newSeen) else Map.empty),
-      appended = Map.empty,
-      // stamp frontierSize like the crawl-round commits do, so statusSummary
-      // reads one consistent source: prior size (stamped by the previous
-      // commit; counted once for pre-stamping snapshots) plus the reopened
-      // set in requeue mode (forget mode leaves the frontier untouched)
+        (if (forget) Map("seen" -> newSeen) else Map.empty) ++
+        frontierReplace ++
+        (if (enqChanged) Map("host_enq" -> newHostEnq) else Map.empty),
+      appended = frontierAppend,
+      // stamp frontierSize/seenSize like the crawl-round commits do, so
+      // statusSummary reads one consistent source: prior size (stamped by
+      // the previous commit; counted once for pre-stamping snapshots) plus
+      // the reopened set in requeue mode
       meta = Map(
         "nextSeq" -> (nextSeq + (if (forget) 0L else reopened)).toString,
-        "frontierSize" -> (snap.meta(r).get("frontierSize").map(_.toLong)
-          .getOrElse(frontier.count()) + (if (forget) 0L else reopened)).toString),
+        "frontierSize" -> (m0.get("frontierSize").map(_.toLong)
+          .getOrElse(live.count()) + (if (forget) 0L else reopened)).toString,
+        // seen shrinks by exactly the reopened set in forget mode (every
+        // failed URL was admitted, hence in seen) and is untouched otherwise
+        "seenSize" -> (priorSeenSize.getOrElse(seen.count())
+          - (if (forget) n else 0L)).toString,
+        "frontierAbsRank" -> "1"),
       blobs = Map("seen_sketch" -> graft.functions.SeenSketch.serialize(sketch)),
       bucketed = Map("frontier" ->
         pmod(xxhash64(col("host")), lit(graft.plans.SnapshotTable.Buckets))),
-      carried = Map("host_sched" -> r)) // dispatch history unchanged by a reset
+      carried = Map("host_sched" -> r) ++ // dispatch history unchanged by a reset
+        (if (enqChanged) Map.empty[String, Int] else Map("host_enq" -> r)))
     reopened
   }
 }

@@ -120,6 +120,23 @@ object Dedup {
    * blocks = 8 with maxHamming = 3 → C(8,5) = 56 tables on ~40-bit keys). */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3, blocks: Int = 6): DataFrame = {
+    // fingerprints are computed ONCE even without materialization: the
+    // single shared exchange below is the only consumer of this lineage
+    // (both self-join sides reuse it, and the hamming verify reads sims
+    // carried through the shuffle), so tokenize+simhash runs exactly once
+    // per doc — the r3 eager checkpoint became pure overhead and is gone
+    simhashPairsFromFp(df.select(col(id).as("doc"),
+      sketch.simhash64(gf.tokenize(col(text))).as("sim")), maxHamming, blocks)
+  }
+
+  /** The Manku bucket machinery over PRE-COMPUTED 64-bit fingerprints
+   * (columns: doc, sim). Split out so the table-key construction,
+   * pigeonhole bucket join, and first-clean-table dedup can be
+   * oracle-checked against a brute-force hamming join over the same
+   * fingerprint column (q_dedup_simhash_sql) — the text→simhash expression
+   * itself is covered by DedupSpec's brute-force equality. */
+  def simhashPairsFromFp(fp: DataFrame,
+                         maxHamming: Int = 3, blocks: Int = 6): DataFrame = {
     require(blocks > maxHamming && blocks <= 16,
       s"need maxHamming < blocks <= 16, got maxHamming=$maxHamming blocks=$blocks")
     val m = blocks - maxHamming
@@ -127,13 +144,6 @@ object Dedup {
     require(nTables <= 128,
       s"C($blocks, $m) = $nTables tables — pick parameters with <= 128")
 
-    // fingerprints are computed ONCE even without materialization: the
-    // single shared exchange below is the only consumer of this lineage
-    // (both self-join sides reuse it, and the hamming verify reads sims
-    // carried through the shuffle), so tokenize+simhash runs exactly once
-    // per doc — the r3 eager checkpoint became pure overhead and is gone
-    val fp = df.select(col(id).as("doc"),
-      sketch.simhash64(gf.tokenize(col(text))).as("sim"))
     // all table keys from ONE array-producing expression (block widths/
     // offsets/combinations resolved inside SketchCodegen): the session
     // compiles a single call site instead of nTables independent

@@ -13,9 +13,13 @@ import java.io.ByteArrayInputStream
  * readers ship with the JDK) for images, a RIFF/fmt/data chunk parser
  * for WAV audio, `Graphics2D` for resampling — so decode, resize,
  * feature-extract and PCM sampling produce true values, golden-tested
- * against synthesized media in MultimodalSpec. Video remains out of
- * scope (the JDK carries no video codec; the audio path demonstrates
- * the frame-sampling contract).
+ * against synthesized media in MultimodalSpec. VIDEO is covered on real
+ * bytes too, within the same pure-JVM constraint: AVI is RIFF (the same
+ * container walk as WAV) and an MJPEG stream's frames are plain JPEGs,
+ * which ImageIO decodes — so [[videoMeta]]/[[videoFrameSample]] carry
+ * the frame-sampling contract on an actual video container instead of
+ * an audio stand-in. (General codecs — H.264 etc. — stay out of scope:
+ * no JVM decoder exists offline.)
  *
  * Why Scala UDFs and not Catalyst expressions: codec work is per-row
  * imperative byte-stream decoding over an opaque payload — there is
@@ -85,6 +89,53 @@ object Multimodal {
     for ((rate, ch, bits) <- fmt; (off, len) <- data
          if ch > 0 && bits > 0 && ch * bits / 8 > 0 && rate > 0)
       yield WavInfo(rate, ch, bits, len.toLong / (ch * bits / 8), off, len)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Parsed AVI (MJPEG) header + movi-chunk locations of the frames. */
+  private[graft] case class AviInfo(width: Int, height: Int, usPerFrame: Long,
+      frames: Seq[(Int, Int)]) // (offset, len) of each '00dc' JPEG payload
+
+  /** RIFF/AVI container walk (MJPEG video). Same hardening discipline as
+   * [[wavInfo]] — it IS the same RIFF grammar, just with nested LISTs:
+   * chunk sizes stay unsigned longs, every region cursor is strictly
+   * increasing (so hostile sizes can neither loop nor reverse the walk),
+   * payload lengths are clamped to the bytes actually present, nested
+   * LIST regions are bounded by their parent, and any residual surprise
+   * is caught — undecodable bytes yield None, never a crash or a hang. */
+  private[graft] def aviInfo(b: Array[Byte]): Option[AviInfo] = try {
+    def u32(i: Int) = ((b(i) & 0xFF).toLong | ((b(i + 1) & 0xFF).toLong << 8) |
+      ((b(i + 2) & 0xFF).toLong << 16) | ((b(i + 3) & 0xFF).toLong << 24))
+    def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+    if (b == null || b.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var width = 0
+    var height = 0
+    var usPerFrame = 0L
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // (pos, limit) region stack: a LIST pushes its payload as a sub-region
+    var stack = List((12L, math.min(b.length.toLong, 8L + u32(4))))
+    while (stack.nonEmpty) {
+      val (pos, limit) = stack.head
+      if (pos + 8 > limit) stack = stack.tail
+      else {
+        val p = pos.toInt // safe: pos + 8 <= limit <= b.length <= Int.MaxValue
+        val id = tag(p)
+        val sz = u32(p + 4) // unsigned: [0, 2^32)
+        stack = (pos + 8 + sz + (sz & 1), limit) :: stack.tail // advance, word-aligned
+        if (id == "LIST" && pos + 12 <= limit)
+          stack = (pos + 12, math.min(limit, pos + 8 + sz)) :: stack // descend
+        else if (id == "avih" && p + 48 <= b.length) {
+          usPerFrame = u32(p + 8) // dwMicroSecPerFrame
+          width = u32(p + 40).toInt // dwWidth / dwHeight of the main header
+          height = u32(p + 44).toInt
+        } else if ((id == "00dc" || id == "00db") && sz > 0) {
+          val len = math.max(0L, math.min(sz, b.length.toLong - p - 8)).toInt
+          if (len > 0) frames += ((p + 8, len))
+        }
+      }
+    }
+    if (width > 0 && height > 0 && frames.nonEmpty)
+      Some(AviInfo(width, height, math.max(usPerFrame, 1L), frames.toSeq))
+    else None
   } catch { case scala.util.control.NonFatal(_) => None }
 
   // ---- image operators ----------------------------------------------------
@@ -186,6 +237,50 @@ object Multimodal {
     df.withColumn(out, u(col(binCol)))
   }
 
+  // ---- video operators (AVI/MJPEG — pure JVM: RIFF walk + ImageIO) --------
+
+  /** VIDEO DECODE: binary → struct(format, width, height, n_frames,
+   * duration_ms) from the real AVI main header + movi chunk walk. */
+  def videoMeta(df: DataFrame, binCol: String, out: String = "video_meta"): DataFrame = {
+    val u = udf((b: Array[Byte]) => aviInfo(b).map(v =>
+      ("avi", v.width, v.height, v.frames.length.toLong,
+        v.frames.length * v.usPerFrame / 1000L)))
+    df.withColumn(out, u(col(binCol)))
+      .withColumn(out, col(out).cast("struct<format:string,width:int,height:int," +
+        "n_frames:bigint,duration_ms:bigint>"))
+  }
+
+  /** FRAME-SAMPLE on real video: every k-th MJPEG frame is genuinely
+   * decoded (ImageIO) and summarized as (idx, width, height, mean_luma) —
+   * the video form of the frame-sampling contract, explode-ready. Frames
+   * whose bytes don't decode are skipped, never a crash. */
+  def videoFrameSample(df: DataFrame, binCol: String, everyK: Int,
+                       out: String = "frames"): DataFrame = {
+    require(everyK > 0)
+    val u = udf((b: Array[Byte]) => aviInfo(b).map { v =>
+      v.frames.zipWithIndex.collect { case ((off, len), idx) if idx % everyK == 0 =>
+        readImage(java.util.Arrays.copyOfRange(b, off, off + len)).map { img =>
+          var sum = 0.0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += (0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                0.114 * (rgb & 0xFF)) / 255.0
+              x += 1
+            }
+            y += 1
+          }
+          (idx, img.getWidth, img.getHeight, sum / (img.getWidth * img.getHeight))
+        }
+      }.flatten
+    })
+    df.withColumn(out, u(col(binCol)))
+      .withColumn(out, col(out).cast(
+        "array<struct<idx:int,width:int,height:int,mean_luma:double>>"))
+  }
+
   // ---- deterministic real-media synthesis (fixtures + q_media_pipeline) ---
 
   /** A real PNG with deterministic dimensions and pixel content derived
@@ -237,12 +332,76 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** A real MJPEG-in-AVI video: RIFF(hdrl(avih, strl(strh 'vids'/'MJPG',
+   * strf BITMAPINFOHEADER)), movi('00dc' JPEG frames)) at 25 fps, frame
+   * pixels seed- and frame-index-determined, JPEG-encoded by the same
+   * ImageIO stack that decodes them. */
+  def syntheticAvi(seed: Long): Array[Byte] = {
+    val w = 16 + Math.floorMod(seed * 3, 24L).toInt
+    val h = 16 + Math.floorMod(seed * 5 + 1, 24L).toInt
+    val nFrames = 3 + Math.floorMod(seed, 5L).toInt
+    val usPerFrame = 40000 // 25 fps
+    val jpegs = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var v = (seed * 31 + f) * 6364136223846793005L +
+            (x * 31 + y) * 1442695040888963407L
+          v ^= (v >>> 29)
+          img.setRGB(x, y, (v & 0xFFFFFF).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      ascii(id) ++ le32(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(kind: String, payload: Array[Byte]): Array[Byte] =
+      ascii("LIST") ++ le32(payload.length + 4) ++ ascii(kind) ++ payload
+    val avih = chunk("avih", le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++
+      new Array[Byte](16))
+    val strh = chunk("strh", ascii("vids") ++ ascii("MJPG") ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++ le32(nFrames) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++
+      le16(24) ++ ascii("MJPG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    val body = ascii("AVI ") ++ hdrl ++ movi
+    ascii("RIFF") ++ le32(body.length) ++ body
+  }
+
   /** Attach deterministic REAL media bytes (PNG for even seeds, WAV for
    * odd) derived from an id column — the fixture generator used by
    * q_media_pipeline and the specs. */
   def syntheticMedia(df: DataFrame, id: String, out: String = "media"): DataFrame = {
     val u = udf((seed: Long) =>
       if (seed % 2 == 0) syntheticPng(seed) else syntheticWav(seed))
+    df.withColumn(out, u(col(id).cast("long")))
+  }
+
+  /** Three-way fixture: PNG / WAV / MJPEG-AVI round-robin by id — the
+   * full-modality generator behind q_media_pipeline. */
+  def syntheticMedia3(df: DataFrame, id: String, out: String = "media"): DataFrame = {
+    val u = udf((seed: Long) => Math.floorMod(seed, 3L) match {
+      case 0L => syntheticPng(seed)
+      case 1L => syntheticWav(seed)
+      case _ => syntheticAvi(seed)
+    })
     df.withColumn(out, u(col(id).cast("long")))
   }
 }

@@ -69,4 +69,26 @@ object TextAnalysis {
    * multiplication. */
   def rollingFingerprint(text: Column): Column =
     graft.functions.sketch.rolling_hash64(gf.tokenize(text))
+
+  /** Adler-32-style rolling fingerprint over token values (the rsync/zlib
+   * rolling-checksum structure, mod 65521, applied per token instead of
+   * per byte): A = 1 + Σ v(tᵢ), B = n + Σ (n−i+1)·v(tᵢ), fp = B·2¹⁶ + A,
+   * with v(t) = ascii(first) + 131·len(t) + 7·ascii(last). Order-sensitive
+   * like [[rollingFingerprint]] and slideable in O(1) per step, but built
+   * ONLY from arithmetic both Spark and ANSI SQL share — so this variant
+   * is DuckDB-oracle-checkable end to end (q_rolling_fingerprint_sql),
+   * value-anchoring the fingerprinting family the 64-bit wrapping form
+   * can't anchor itself. Pure Column composition: codegen'd, no UDF. */
+  def adlerFingerprint(text: Column): Column = {
+    val toks = gf.tokenize(text)
+    val n = size(toks).cast("long")
+    def v(t: Column): Column =
+      ascii(substring(t, 1, 1)).cast("long") + lit(131L) * length(t).cast("long") +
+        lit(7L) * ascii(t.substr(length(t), lit(1))).cast("long")
+    val a = (lit(1L) + aggregate(toks, lit(0L), (acc, t) => acc + v(t))) % 65521L
+    val b = (n + aggregate(
+      transform(toks, (t, i) => (n - i.cast("long")) * v(t)),
+      lit(0L), (acc, x) => acc + x)) % 65521L
+    b * 65536L + a
+  }
 }

@@ -58,8 +58,10 @@ class SnapshotTable(val root: String) {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = SnapshotTable.writeEc
+    val trace = sys.env.get("SPARK_GRAFT_CRAWL_TRACE").contains("1")
     val writes = all.toSeq.map { case (name, df) =>
       Future {
+        val t0 = System.nanoTime()
         val path = s"$root/data/$name/${rid(round)}"
         bucketed.get(name) match {
           // physically bucket the table (Iceberg `bucket(N, …)` analog):
@@ -74,9 +76,12 @@ class SnapshotTable(val root: String) {
           case _ =>
             df.write.mode("overwrite").parquet(path)
         }
+        if (trace) System.err.println(
+          f"[commit-trace] r$round $name write=${(System.nanoTime() - t0) / 1e9}%.2f")
       }
     }
     Await.result(Future.sequence(writes), Duration.Inf)
+    val tMetaLate = System.nanoTime()
     // binary sidecars (e.g. the serialized seen-filter shards) are written
     // BEFORE the manifest rename, so a committed round always has them
     blobs.foreach { case (name, bytes) =>
@@ -91,7 +96,10 @@ class SnapshotTable(val root: String) {
       .map { case (n, p) => s""""$n": "$p"""" }.mkString(",")
     val kindJson = ((replaced.keys ++ carriedPaths.keys).map(n => s""""$n": "replace"""") ++
       appended.keys.map(n => s""""$n": "append"""")).mkString(",")
-    val metaJson = (meta ++ metaLate())
+    val metaLateVals = metaLate()
+    if (trace) System.err.println(
+      f"[commit-trace] r$round metaLate=${(System.nanoTime() - tMetaLate) / 1e9}%.2f")
+    val metaJson = (meta ++ metaLateVals)
       .map { case (k, v) => s""""$k": "$v"""" }.mkString(",")
     val json =
       s"""{"round": $round, "meta": {$metaJson}, "kind": {$kindJson}, "tables": {$tablesJson}}"""
@@ -163,7 +171,7 @@ class SnapshotTable(val root: String) {
       r -= 1
     }
     require(dirs.nonEmpty, s"table $name has no commits at or before round $round")
-    stripBuckets(spark.read.parquet(dirs.distinct.toSeq: _*))
+    readUnion(spark, dirs.distinct.toSeq)
   }
 
   /** Latest version of a replaced table at the given round — resolved
@@ -200,7 +208,7 @@ class SnapshotTable(val root: String) {
     require(dirs.nonEmpty,
       s"append table $name has no data at or before round $round " +
         "(no round produced any rows for it)")
-    stripBuckets(spark.read.parquet(dirs: _*))
+    readUnion(spark, dirs)
   }
 
   /** [[loadAppended]] with a schema-carrying empty-frame fallback for
@@ -214,6 +222,17 @@ class SnapshotTable(val root: String) {
 
   private def stripBuckets(df: DataFrame): DataFrame =
     if (df.columns.contains("p_bucket")) df.drop("p_bucket") else df
+
+  /** Union of per-directory reads. Tier directories of one hybrid table can
+   * legitimately differ in PHYSICAL layout — a bucketed base has
+   * `p_bucket=N/` partition dirs while a zero-row compaction falls back to
+   * a flat schema-carrying file (a zero-row partitioned write would leave
+   * no readable footer) — and a single multi-path `read.parquet(dirs…)`
+   * rejects that mix at partition inference. Reading each directory on its
+   * own and unioning keeps the scan shape identical (a union of file scans)
+   * while making the layouts independent. */
+  private def readUnion(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    dirs.map(d => stripBuckets(spark.read.parquet(d))).reduce(_.unionByName(_))
 }
 
 object SnapshotTable {

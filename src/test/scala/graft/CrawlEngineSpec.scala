@@ -339,10 +339,13 @@ class CrawlEngineSpec extends AnyFunSuite {
     }
   }
 
-  test("size-gated fetch join: bloom-pruned shuffle-hash path equals the broadcast path") {
-    // broadcastRowLimit = 0 forces every round onto the at-scale join
-    // strategy (bloom scan-prune + shuffle-hash); the schedule must be
-    // IDENTICAL to the broadcast plan's (same oracle)
+  test("size-gate degradation through run(): fetch join AND dispatch budget past the broadcast limit") {
+    // broadcastRowLimit = 0 forces every round of the FULL engine loop onto
+    // both at-scale fallbacks at once: the fetch join degrades to bloom
+    // scan-prune + shuffle-hash, and the dispatch budget join degrades from
+    // broadcast to the hinted shuffle-hash path (budgetRowBound is always
+    // > 0 once a policy row exists, so the gate trips in every round).
+    // The schedule must be IDENTICAL to the broadcast plan's (same oracle).
     val root = Files.createTempDirectory("graft-crawl-shj").toString
     val s = runEngine(root, cfgUsed = cfg.copy(broadcastRowLimit = 0))
     assert(engineSchedule(root, s.rounds - 1) ==
@@ -378,6 +381,34 @@ class CrawlEngineSpec extends AnyFunSuite {
       .groupBy(_.getString(0))
       .map { case (h, rs) => h -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
     ranks.values.foreach(seq => assert(seq == (1L to seq.length).toSeq))
+  }
+
+  test("frontier commits are an LSM: per-round bytes written ∝ added rows, not frontier size") {
+    val root = Files.createTempDirectory("graft-crawl-lsm").toString
+    val s = runEngine(root)
+    val snap = new SnapshotTable(root)
+    val byRound = (0 until s.rounds).map(r => r -> snap.kinds(r).get("frontier"))
+    // steady-state rounds APPEND a delta tier holding EXACTLY that round's
+    // new entries (admitted + requeued) — never a frontier rewrite
+    val appendRounds = byRound.collect { case (r, Some("append")) => r }
+    assert(appendRounds.nonEmpty, "no LSM append rounds — frontier is being rewritten")
+    appendRounds.foreach { r =>
+      val rows = spark.read.parquet(f"$root/data/frontier/r$r%05d").count()
+      val st = s.stats(r)
+      assert(rows == st.admitted,
+        s"round $r frontier delta has $rows rows, expected admitted=${st.admitted}")
+    }
+    // rounds that add nothing and don't compact write NO frontier data at all
+    byRound.foreach { case (r, k) =>
+      if (k.isEmpty) assert(s.stats(r).admitted == 0)
+    }
+    // the raw LSM view (base + tiers, dead rows included) must still
+    // resolve to the oracle-live frontier: drained crawl → zero live rows
+    assert(Crawler.recentlyAdded(spark, root, 1000000).count() == 0)
+    // and the schedule equals the oracle's (LSM is a storage layout, not a
+    // semantics change)
+    assert(engineSchedule(root, s.rounds - 1) ==
+      oracleResult.schedule.map(l => (l.round, l.url, l.status)))
   }
 
   test("output is invariant to shuffle partitioning (salt-/parallelism-independence)") {

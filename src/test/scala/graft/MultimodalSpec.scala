@@ -94,6 +94,90 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("videoMeta decodes real MJPEG-AVI headers exactly") {
+    import spark.implicits._
+    val seeds = Seq(2L, 5L, 11L, 23L)
+    val df = Multimodal.videoMeta(
+      seeds.toDF("id").withColumn("media",
+        udf((s: Long) => Multimodal.syntheticAvi(s)).apply(col("id"))), "media")
+    val got = df.select(col("id"), col("video_meta.format"),
+      col("video_meta.width"), col("video_meta.height"),
+      col("video_meta.n_frames"), col("video_meta.duration_ms")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5))).toMap
+    seeds.foreach { s =>
+      val (w, h) = (16 + Math.floorMod(s * 3, 24L).toInt,
+        16 + Math.floorMod(s * 5 + 1, 24L).toInt)
+      val n = 3 + Math.floorMod(s, 5L).toInt
+      // 25 fps → 40 ms per frame
+      assert(got(s) == ("avi", w, h, n.toLong, n * 40L), s"seed $s")
+    }
+  }
+
+  test("videoFrameSample really decodes every k-th JPEG frame") {
+    import spark.implicits._
+    val seeds = Seq(2L, 8L, 14L) // 5, 6, 4 frames respectively... computed below
+    val df = Multimodal.videoFrameSample(
+      seeds.toDF("id").withColumn("media",
+        udf((s: Long) => Multimodal.syntheticAvi(s)).apply(col("id"))),
+      "media", everyK = 2)
+    val rows = df.select(col("id"), col("frames")).collect()
+    rows.foreach { r =>
+      val s = r.getLong(0)
+      val n = 3 + Math.floorMod(s, 5L).toInt
+      val (w, h) = (16 + Math.floorMod(s * 3, 24L).toInt,
+        16 + Math.floorMod(s * 5 + 1, 24L).toInt)
+      val frames = r.getSeq[org.apache.spark.sql.Row](1)
+      // every 2nd frame, 0-indexed: ceil(n / 2)
+      assert(frames.length == (n + 1) / 2, s"seed $s")
+      frames.zipWithIndex.foreach { case (f, i) =>
+        assert(f.getInt(0) == i * 2) // sampled frame indices
+        assert((f.getInt(1), f.getInt(2)) == (w, h)) // true decoded dims
+        val luma = f.getDouble(3)
+        assert(luma > 0.0 && luma < 1.0)
+      }
+    }
+    // determinism: identical seeds produce identical decoded features
+    val twice = Multimodal.videoFrameSample(
+      Seq(2L, 2L).toDF("id").withColumn("media",
+        udf((s: Long) => Multimodal.syntheticAvi(s)).apply(col("id"))),
+      "media", everyK = 2).select("frames").collect()
+    assert(twice(0) == twice(1))
+  }
+
+  test("adversarial AVI chunk sizes and LIST nesting: None, never a hang") {
+    // hostile top-level chunk whose 32-bit size would be negative as Int
+    def hostile(size: Long): Array[Byte] = {
+      val b = new Array[Byte](64)
+      def put(i: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(b, i)
+      put(0, "RIFF"); b(4) = 60; put(8, "AVI "); put(12, "junk")
+      var v = size
+      (0 until 4).foreach { i => b(16 + i) = (v & 0xFF).toByte; v >>= 8 }
+      b
+    }
+    for (sz <- Seq(0xFFFFFFF8L, 0xFFFFFFFFL, 0x80000000L, 0x7FFFFFFFL))
+      assert(Multimodal.aviInfo(hostile(sz)).isEmpty, f"size 0x$sz%x")
+    // a deep chain of nested LISTs must terminate (bounded sub-regions)
+    val bomb = new java.io.ByteArrayOutputStream()
+    bomb.write("RIFF".getBytes("US-ASCII"))
+    val inner = 12 * 200
+    bomb.write(Array[Byte]((inner & 0xFF).toByte, ((inner >> 8) & 0xFF).toByte, 0, 0))
+    bomb.write("AVI ".getBytes("US-ASCII"))
+    (0 until 200).foreach { i =>
+      bomb.write("LIST".getBytes("US-ASCII"))
+      val rest = inner - 12 * i - 8
+      bomb.write(Array[Byte]((rest & 0xFF).toByte, ((rest >> 8) & 0xFF).toByte, 0, 0))
+      bomb.write("recl".getBytes("US-ASCII"))
+    }
+    assert(Multimodal.aviInfo(bomb.toByteArray).isEmpty)
+    // truncated movi: declared frame length past the payload is clamped
+    val avi = Multimodal.syntheticAvi(7L)
+    val cut = java.util.Arrays.copyOf(avi, avi.length - 40)
+    Multimodal.aviInfo(cut).foreach { v =>
+      v.frames.foreach { case (off, len) => assert(off + len <= cut.length) }
+    }
+  }
+
   test("undecodable and cross-type payloads yield null, never a crash") {
     import spark.implicits._
     val junk = Seq(Array[Byte](1, 2, 3), "not media".getBytes, Array.empty[Byte])

@@ -76,6 +76,11 @@ class ResetFailuresSpec extends AnyFunSuite {
     val st = Crawler.statusSummary(spark, root).collect()(0)
     assert(st.getAs[Boolean]("is_running"))
     assert(st.getAs[Long]("frontier_size") == reopened)
+    // requeue mode leaves seen untouched — the reset stamp must agree with
+    // the actual table
+    val snapRq = new SnapshotTable(root)
+    assert(st.getAs[Long]("seen_size") ==
+      snapRq.loadHybrid(spark, "seen", snapRq.latestRound.get).count())
 
     val resetRound = new SnapshotTable(root).latestRound.get
     runEngine(root) // resume
@@ -119,6 +124,11 @@ class ResetFailuresSpec extends AnyFunSuite {
     val seenAfter = snap.loadHybrid(spark, "seen", rAfter)
       .collect().map(_.getString(0)).toSet
     assert(seenAfter == seenBefore -- failed0)
+    // the reset commit stamps seenSize like crawl rounds do, so the /status
+    // projection reflects the shrunken set immediately (not the stale count
+    // from the last crawl round's counters row)
+    assert(Crawler.statusSummary(spark, root).collect()(0)
+      .getAs[Long]("seen_size") == seenAfter.size)
     // the checkpointed cuckoo sketch no longer claims the forgotten URLs
     // (allowing for rare genuine fingerprint collisions with live keys,
     // which are harmless false positives — the exact seen table re-checks)
