@@ -570,6 +570,13 @@ object Crawler {
     var hostEnq: DataFrame = null
     var frontierSize = 0L
     var seenSizeKnown: Option[Long] = None
+    // set when resuming a LEGACY (relative-rank, pre-LSM) snapshot: the
+    // on-disk base still holds RELATIVE ranks, so the FIRST commit must
+    // compact (write the converted absolute-rank live rows as the new
+    // base) — appending absolute-rank tiers over a relative-rank base
+    // would make the next round's reload mix the two rank semantics and
+    // silently mis-classify liveness. One O(live) rewrite, paid once.
+    var frontierLegacyBase = false
     snap.latestRound match {
       case Some(r) =>
         val m = snap.meta(r)
@@ -604,6 +611,7 @@ object Crawler {
             .select(col("host"), (coalesce(col("enq"), lit(0L)) +
               coalesce(col("dispatched"), lit(0L))).as("enq"))
           frontierSize = m.get("frontierSize").map(_.toLong).getOrElse(rawF.count())
+          frontierLegacyBase = true // first commit must compact (see above)
         }
       case None =>
         val seedCand = seedUrls.zipWithIndex.toDF("url", "idx")
@@ -1081,8 +1089,8 @@ object Crawler {
         case None => newEntries
       }
       frontierDeadRows += nDispatched
-      val frontierCompact =
-        !failedBase || frontierDeadRows > frontierSize || frontierTiers >= 64
+      val frontierCompact = !failedBase || frontierLegacyBase ||
+        frontierDeadRows > frontierSize || frontierTiers >= 64
       if (frontierCompact) {
         // base rewrite: live rows only (dead prefixes drop out), absolute
         // ranks preserved — O(live), amortized against the dead rows shed
@@ -1090,6 +1098,7 @@ object Crawler {
           liveRows(frontier.unionByName(newEntries), newHostSched)
         frontierDeadRows = 0
         frontierTiers = 0
+        frontierLegacyBase = false
       }
       val enqDirty = addsCount > 0 || nInjected > 0
       if (enqDirty || !failedBase)

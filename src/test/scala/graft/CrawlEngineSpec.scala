@@ -129,6 +129,69 @@ class CrawlEngineSpec extends AnyFunSuite {
       engineSeen(rootA, full.rounds - 1))
   }
 
+  test("resume from a LEGACY pre-LSM snapshot (relative ranks, no host_enq) completes to the oracle schedule") {
+    import org.apache.spark.sql.expressions.Window
+    // backlog-heavy config (wide cap, deeper depth): the frontier outgrows
+    // the politeness budget, so dead rows stay BELOW live size for many
+    // rounds and no natural compaction masks a rank-semantics mix — the
+    // post-conversion normalization has to be forced, and oracle equality
+    // detects it if it isn't
+    // snapshot at round 3, where the frontier (~90 live rows) holds
+    // multi-round politeness backlogs on hosts that already HAVE dispatch
+    // history — the rows a rank-semantics mix silently loses are then rows
+    // the oracle dispatches within the horizon, so schedule equality bites
+    // (at an earlier cut the only deferred rows sit on the slowest host,
+    // which the oracle can't reach within maxRounds either, masking a mix)
+    val cfgL = cfg.copy(maxPagesPerDomain = 100, maxDepth = 5)
+    val oracleL = new CrawlOracle(docsMap, policyMap, cfgL).run(seeds, maxRounds = 60)
+    val root = Files.createTempDirectory("graft-crawl-legacy").toString
+    runEngine(root, maxRounds = 4, cfgUsed = cfgL)
+    val snap = new SnapshotTable(root)
+    val r = snap.latestRound.get
+    // Rewrite round r IN PLACE into the r4 on-disk dialect: ONE
+    // replace-format frontier holding LIVE rows with RELATIVE per-host
+    // ranks (1..k over the live set in seq order), hybrid seen/failed
+    // compacted to replaces (both legal legacy forms), no host_enq table,
+    // no frontierAbsRank/frontierSize/seenSize meta stamps. Overwriting
+    // the same round (rather than committing r+1) keeps round NUMBERING
+    // identical to the uninterrupted run — politeness budgets are a
+    // function of the round index, so exact schedule equality stays the
+    // assertion. Materialize eagerly FIRST: the commit overwrites the very
+    // directories these frames read.
+    val sched = snap.loadReplaced(spark, "host_sched", r)
+    val live = snap.loadHybrid(spark, "frontier", r)
+      .join(sched, Seq("host"), "left_outer")
+      .where(col("host_rank") > coalesce(col("dispatched"), lit(0L)))
+      .drop("dispatched")
+      .withColumn("host_rank", row_number()
+        .over(Window.partitionBy(col("host")).orderBy(col("seq"))).cast("long"))
+      .localCheckpoint(true)
+    val seenLegacy = snap.loadHybrid(spark, "seen", r).localCheckpoint(true)
+    val failedLegacy = snap.loadHybrid(spark, "failed", r).localCheckpoint(true)
+    val nextSeq = snap.meta(r)("nextSeq")
+    val blob = snap.loadBlob("seen_sketch", r).get
+    snap.commit(spark, r,
+      replaced = Map("frontier" -> live, "seen" -> seenLegacy,
+        "failed" -> failedLegacy),
+      appended = Map.empty,
+      meta = Map("nextSeq" -> nextSeq),
+      blobs = Map("seen_sketch" -> blob),
+      bucketed = Map("frontier" ->
+        pmod(xxhash64(col("host")), lit(SnapshotTable.Buckets))),
+      carried = Map("host_counts" -> r, "host_sched" -> r, "quarantined" -> r))
+    assert(!snap.meta(r).contains("frontierAbsRank"), "fixture must be legacy-format")
+    // resume converts ranks once; the FIRST post-conversion commit must
+    // compact (write the converted absolute-rank live rows as the new
+    // base) — appending absolute-rank tiers over the relative-rank legacy
+    // base would mix the two rank semantics on the next reload and
+    // silently drop frontier rows. Oracle equality catches exactly that.
+    val resumed = runEngine(root, maxRounds = 60, cfgUsed = cfgL)
+    assert(engineSchedule(root, resumed.rounds - 1) ==
+      oracleL.schedule.map(l => (l.round, l.url, l.status)))
+    assert(engineSeen(root, resumed.rounds - 1) == oracleL.seen.toSet)
+    assert(new SnapshotTable(root).meta(resumed.rounds - 1)("frontierAbsRank") == "1")
+  }
+
   test("graceful stop at a round boundary: state == maxRounds cut, resume == uninterrupted") {
     import spark.implicits._
     // cooperative stop flag flips once two rounds have committed — the
