@@ -119,19 +119,23 @@ object SparkEntry {
 
     // A3+J1+O1 search scoring: tokenize, per-term hit with title weight 2.0
     // / body 1.0 (title-first-wins), weighted sum per doc, top-10
-    // (gcloud_indexer.py:37-101)
+    // (gcloud_indexer.py:37-101). r6: the query-term list is a FIXED tiny
+    // set, so the per-doc score folds into one projection — the former
+    // crossJoin (3 rows/doc through a BroadcastNestedLoopJoin) + groupBy
+    // (one exchange) + sum collapse to scan → project → filter →
+    // TakeOrdered with zero exchanges. Same result exactly: the summed
+    // weights are small integers in double, associative in fp; a doc
+    // appears iff ≥ 1 term hits.
     "q_search_scoring" -> ((s, dir) => {
-      val toks = s.read.parquet(t(dir, "documents"))
+      val terms = Seq("spark", "data", "query")
+      val d = s.read.parquet(t(dir, "documents"))
         .select(col("doc_id"), gf.tokenize(col("text")).as("ts"))
         .withColumn("title_ts", slice(col("ts"), 1, 5))
-      import s.implicits._
-      val terms = Seq("spark", "data", "query").toDF("term")
-      toks.crossJoin(broadcast(terms))
-        .withColumn("w",
-          when(array_contains(col("title_ts"), col("term")), lit(2.0))
-            .when(array_contains(col("ts"), col("term")), lit(1.0)))
-        .where(col("w").isNotNull)
-        .groupBy("doc_id").agg(sum("w").as("score"))
+      val ws = terms.map(tm =>
+        when(array_contains(col("title_ts"), tm), lit(2.0))
+          .when(array_contains(col("ts"), tm), lit(1.0)))
+      d.where(ws.map(_.isNotNull).reduce(_ || _))
+        .select(col("doc_id"), ws.map(w => coalesce(w, lit(0.0))).reduce(_ + _).as("score"))
         .orderBy(desc("score"), asc("doc_id"))
         .limit(10)
     }),
@@ -139,16 +143,22 @@ object SparkEntry {
     // T8/S9 inverted-index build as a value-checked query: postings with
     // title weight 2.0 / body 1.0, title-wins per (term, doc)
     // (gcloud_indexer.py:56-62) over a first-5-token pseudo-title
+    // r6: one scan, one explode of the per-doc DISTINCT term set, weight by
+    // title membership — replaces the two-branch union (scan+tokenize ×2,
+    // explode of EVERY token occurrence) and the (term, doc_id) groupBy
+    // exchange. Equivalence: the union's max(weight) per (term, doc_id) is
+    // 2.0 iff the term occurs among the first 5 tokens (title_ts ⊆ ts) and
+    // 1.0 otherwise, over exactly the distinct (term, doc) pairs —
+    // precisely explode(array_distinct(ts)) with an array_contains(title)
+    // weight. Zero exchanges.
     "q_postings" -> ((s, dir) => {
-      val d = s.read.parquet(t(dir, "documents"))
+      s.read.parquet(t(dir, "documents"))
         .select(col("doc_id"), gf.tokenize(col("text")).as("ts"))
-        .withColumn("title_ts", slice(col("ts"), 1, 5))
-      val title = d.select(explode(col("title_ts")).as("term"),
-        col("doc_id"), lit(2.0).as("weight"))
-      val body = d.select(explode(col("ts")).as("term"),
-        col("doc_id"), lit(1.0).as("weight"))
-      title.unionByName(body)
-        .groupBy("term", "doc_id").agg(max("weight").as("weight"))
+        .select(col("doc_id"), slice(col("ts"), 1, 5).as("title_ts"),
+          explode(array_distinct(col("ts"))).as("term"))
+        .select(col("term"), col("doc_id"),
+          when(array_contains(col("title_ts"), col("term")), lit(2.0))
+            .otherwise(lit(1.0)).as("weight"))
     }),
 
     // A4 remainder — index-size stats (the reference indexer's heartbeat
@@ -157,16 +167,15 @@ object SparkEntry {
     // postings build as q_postings. (The engine-side equivalents:
     // Crawler.indexStats exact-on-demand, per-round approx deltas in the
     // round manifests via indexStatsHistory.)
+    // r6: same restructure as q_postings — the (term, doc_id) groupBy that
+    // only deduplicated per-doc occurrences is replaced by
+    // explode(array_distinct(ts)) (title terms are a subset of ts, so the
+    // distinct pair set is identical), feeding the same final aggregate.
+    // One scan + one exchange-free explode instead of two scans, two
+    // explodes and a full (term, doc_id) shuffle.
     "q_index_stats" -> ((s, dir) => {
-      val d = s.read.parquet(t(dir, "documents"))
-        .select(col("doc_id"), gf.tokenize(col("text")).as("ts"))
-        .withColumn("title_ts", slice(col("ts"), 1, 5))
-      val title = d.select(explode(col("title_ts")).as("term"),
-        col("doc_id"), lit(2.0).as("weight"))
-      val body = d.select(explode(col("ts")).as("term"),
-        col("doc_id"), lit(1.0).as("weight"))
-      title.unionByName(body)
-        .groupBy("term", "doc_id").agg(max("weight").as("weight"))
+      s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), explode(array_distinct(gf.tokenize(col("text")))).as("term"))
         .agg(countDistinct(col("term")).as("distinct_terms"),
           countDistinct(col("doc_id")).as("indexed_docs"),
           count(lit(1)).as("postings_rows"))
@@ -174,30 +183,39 @@ object SparkEntry {
 
     // J2 title-field search: postings whose term is in the title token set
     // only (gcloud_indexer.py:83-84), weighted sum, top-10
+    // r6: fixed term set → fold the per-doc title score into one projection
+    // (score = 2.0 · matched-term count; sum(lit(2.0)) over n matching
+    // crossJoin rows is exactly 2.0·n), and tokenize stops after the 5
+    // title tokens (tokenize_prefix ≡ slice(tokenize, 1, 5) — the rest of
+    // the document is never needed). Zero joins, zero exchanges,
+    // TakeOrdered top-k.
     "q_search_title" -> ((s, dir) => {
-      import s.implicits._
+      val terms = Seq("spark", "data", "query")
       val d = s.read.parquet(t(dir, "documents"))
-        .select(col("doc_id"), gf.tokenize(col("text")).as("ts"))
-        .withColumn("title_ts", slice(col("ts"), 1, 5))
-      val terms = Seq("spark", "data", "query").toDF("term")
-      d.crossJoin(broadcast(terms))
-        .where(array_contains(col("title_ts"), col("term")))
-        .groupBy("doc_id").agg(sum(lit(2.0)).as("score"))
+        .select(col("doc_id"), gf.tokenize_prefix(col("text"), 5).as("title_ts"))
+      val hits = terms.map(tm =>
+        when(array_contains(col("title_ts"), tm), 1).otherwise(0)).reduce(_ + _)
+      d.where(hits > 0)
+        .select(col("doc_id"), (hits * lit(2.0)).as("score"))
         .orderBy(desc("score"), asc("doc_id"))
         .limit(10)
     }),
 
     // J2 url-field search: 1.0 per query term that is a substring of the
     // url, over ALL indexed urls (gcloud_indexer.py:76-81)
+    // r6: fixed term set → per-url score in one projection (score = 1.0 ·
+    // matched-term count ≡ sum(lit(1.0)) over matching crossJoin rows;
+    // urls are unique per doc, so the groupBy only ever summed one url's
+    // rows). Zero joins, zero exchanges, TakeOrdered top-k.
     "q_search_url" -> ((s, dir) => {
-      import s.implicits._
+      val terms = Seq("src1", "d/4", "example")
       val d = s.read.parquet(t(dir, "documents"))
         .select(concat(lit("https://"), col("source"),
           lit(".example.test/d/"), col("doc_id")).as("url"))
-      val terms = Seq("src1", "d/4", "example").toDF("term")
-      d.crossJoin(broadcast(terms))
-        .where(col("url").contains(col("term")))
-        .groupBy("url").agg(sum(lit(1.0)).as("score"))
+      val hits = terms.map(tm =>
+        when(col("url").contains(tm), 1).otherwise(0)).reduce(_ + _)
+      d.where(hits > 0)
+        .select(col("url"), (hits * lit(1.0)).as("score"))
         .orderBy(desc("score"), asc("url"))
         .limit(10)
     }),
@@ -273,10 +291,16 @@ object SparkEntry {
     }),
 
     // exact dedup over documents: first doc_id wins per identical text
-    // (training-data op; same shape as D1 at content level)
+    // (training-data op; same shape as D1 at content level). r6: the text
+    // column is dropped from the output, so the groupBy key is the 128-bit
+    // md5 of the text instead of the text itself — the shuffle carries a
+    // fixed 32-byte key per distinct (text, partition) rather than whole
+    // documents (guide §2.3: shuffle keys, not payloads; at 10^10 docs the
+    // 2^-129-per-pair md5 collision odds are far below fp noise, and md5
+    // is already this engine's content-fingerprint primitive).
     "q_dedup_exact" -> ((s, dir) => {
       s.read.parquet(t(dir, "documents"))
-        .groupBy("text")
+        .groupBy(md5(col("text")).as("fp"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dupes"))
         .select("keep_id", "dupes")
     }),
@@ -487,11 +511,14 @@ object SparkEntry {
         .except(c.where(col("c_acctbal") > 5000.0).select("c_custkey"))
     }),
 
-    // D4 UNION + dedup: retry-failed style re-queue merge
+    // D4 UNION + dedup: retry-failed style re-queue merge. r6: the two
+    // branches scan the SAME table, so union-of-filters ≡ one scan with the
+    // disjunction — half the scan work, one codegen pipeline, identical
+    // distinct key set (a row in both branches contributes the same key).
     "q_union_dedup" -> ((s, dir) => {
-      val o = s.read.parquet(t(dir, "orders"))
-      o.where(col("o_orderstatus") === "F").select("o_custkey")
-        .union(o.where(col("o_orderpriority") === "1-URGENT").select("o_custkey"))
+      s.read.parquet(t(dir, "orders"))
+        .where(col("o_orderstatus") === "F" || col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey")
         .distinct()
     }),
 

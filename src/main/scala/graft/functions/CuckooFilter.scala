@@ -123,6 +123,22 @@ final class CuckooFilter private (val numBuckets: Int, private val slots: Array[
     insertFingerprint(i1, fp)
   }
 
+  /** UTF8String-native probe (admission hot path): hashes the UTF-8 bytes
+   * directly — hash-identical to the String form, which wraps the key in a
+   * UTF8String anyway, but without the decode/encode round trip. */
+  def mightContain(key: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val h = SketchCodegen.hash64(key)
+    val fp0 = ((h >>> 48) & 0xFFFFL).toInt
+    val fp = if (fp0 == 0) 1 else fp0
+    val i1 = (h & (numBuckets - 1)).toInt
+    bucketHas(i1, fp) || bucketHas(altBucket(i1, fp), fp) || {
+      orphanList.nonEmpty && {
+        val i2 = altBucket(i1, fp)
+        orphanList.exists { case (ob, ofp) => ofp == fp && (ob == i1 || ob == i2) }
+      }
+    }
+  }
+
   def mightContain(key: String): Boolean = {
     val fp = fingerprintOf(key)
     val i1 = bucketOf(key)

@@ -29,6 +29,11 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
  */
 sealed trait SeenSketch extends Serializable {
   def mightContain(url: String): Boolean
+  /** UTF8String-native probe for the codegen'd admission prefilter
+   * (SketchContains): hash-identical to the String form — both hash the
+   * key's UTF-8 bytes — but skips the per-row decode to String (the probe
+   * runs 10^7+ times per scheduling round). */
+  def mightContain(url: org.apache.spark.unsafe.types.UTF8String): Boolean
   /** Add one URL. Returns false when saturated (caller must rebuild). */
   def add(url: String): Boolean
   /** Remove a previously-added URL; false if unsupported (Bloom). */
@@ -45,6 +50,10 @@ sealed trait SeenSketch extends Serializable {
 final class BloomSeen(val filter: BloomFilter, val capacity: Long,
                       private var count: Long) extends SeenSketch {
   def mightContain(url: String): Boolean = filter.mightContainString(url)
+  // mightContainString == mightContainBinary(utf8 bytes) in Spark's
+  // BloomFilterImpl, so probing the UTF8String's own bytes is exact
+  def mightContain(url: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    filter.mightContainBinary(url.getBytes)
   def add(url: String): Boolean = { filter.putString(url); count += 1; count <= capacity }
   def delete(url: String): Boolean = false
   def merge(other: SeenSketch): Boolean = other match {
@@ -70,6 +79,8 @@ final class BloomSeen(val filter: BloomFilter, val capacity: Long,
 final class CuckooSeen(val filter: CuckooFilter) extends SeenSketch {
   private var ok = true
   def mightContain(url: String): Boolean = filter.mightContain(url)
+  def mightContain(url: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    filter.mightContain(url)
   def add(url: String): Boolean = { ok &= filter.insert(url); ok }
   def delete(url: String): Boolean = filter.delete(url)
   def merge(other: SeenSketch): Boolean = other match {

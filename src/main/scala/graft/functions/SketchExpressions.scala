@@ -57,6 +57,60 @@ object SketchCodegen {
     new GenericArrayData(sig)
   }
 
+  /** Per-(bands, rows) permutation-family constants, resolved once per
+   * parameterization (process-wide cache): odd multipliers + offsets of a
+   * 2-universal affine family v_j(x) = a_j·x + b_j (mod 2^64). Inputs are
+   * already-avalanched 64-bit shingle hashes, so the affine map's ranking
+   * is as good a permutation approximation as the previous
+   * mix64(x ^ seed_j) at a third of the per-(shingle, perm) cost. */
+  private final class MinhashPlan(k: Int) {
+    val a: Array[Long] = Array.tabulate(k)(j => mix64(0x5EEDB00C + j.toLong) | 1L)
+    val b: Array[Long] = Array.tabulate(k)(j => mix64(0xB00C5EED - j.toLong))
+  }
+  private val minhashPlans =
+    new java.util.concurrent.ConcurrentHashMap[Int, MinhashPlan]()
+
+  /** The `bands` LSH band keys of a doc's hashed shingle set in ONE pass:
+   * k = bands·rows min-hash minima (affine family, shingle-outer loop so
+   * each shingle hash is read once and the k minima stay in cache), then
+   * each band's `rows` consecutive minima fold into one 64-bit key.
+   * Fuses the former minhash_sig (k-element signature array) +
+   * per-band interpreted `transform(sequence…, xxhash64(slice…))` pipeline
+   * into a single codegen'd call — band keys differ from the old ones as
+   * VALUES (both are opaque bucket keys; collision-in-band probability,
+   * the only thing LSH consumes, is unchanged), so the verified pair set
+   * is identical. */
+  def minhashBandHashes(shingles: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val k = bands * rows
+    val plan = minhashPlans.computeIfAbsent(k, kk => new MinhashPlan(kk))
+    val a = plan.a
+    val b = plan.b
+    val n = shingles.numElements()
+    val m = new Array[Long](k)
+    java.util.Arrays.fill(m, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = shingles.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = a(j) * x + b(j)
+        if (v < m(j)) m(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var bd = 0
+    while (bd < bands) {
+      var acc = 0L
+      var r = 0
+      while (r < rows) { acc = acc * 1000003L + m(bd * rows + r); r += 1 }
+      out(bd) = mix64(acc)
+      bd += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over token array: per-bit vote of token hashes. */
   def simhash(tokens: ArrayData, numElementsIgnored: Int): Long = {
     val counts = new Array[Int](64)
@@ -228,6 +282,22 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "minhash_sig"
 }
 
+/** minhash_band_hashes(shingle_hashes: array<long>, bands, rows) →
+ * array<long>[bands]: fused min-hash signature + LSH band keys (see
+ * SketchCodegen.minhashBandHashes). */
+case class MinHashBandHashes(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(arr: Any): Any =
+    SketchCodegen.minhashBandHashes(arr.asInstanceOf[ArrayData], bands, rows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.SketchCodegen.minhashBandHashes($a, $bands, $rows)")
+  override protected def withNewChildInternal(c: Expression): MinHashBandHashes =
+    copy(child = c)
+  override def prettyName: String = "minhash_band_hashes"
+}
+
 /** simhash64(tokens: array<string>) → long */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -328,12 +398,14 @@ case class SketchContains(child: Expression,
                           bc: org.apache.spark.broadcast.Broadcast[SeenSketch])
     extends UnaryExpression with Predicate {
   override protected def nullSafeEval(u: Any): Any =
-    bc.value.mightContain(u.asInstanceOf[UTF8String].toString)
+    bc.value.mightContain(u.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcRef = ctx.addReferenceObj("seenSketchBc", bc,
       "org.apache.spark.broadcast.Broadcast")
+    // probes the UTF8String directly (hash-identical to the String form;
+    // both hash the UTF-8 bytes) — no per-row decode on the 10^7-row path
     defineCodeGen(ctx, ev, u =>
-      s"((graft.functions.SeenSketch)$bcRef.value()).mightContain($u.toString())")
+      s"((graft.functions.SeenSketch)$bcRef.value()).mightContain($u)")
   }
   override protected def withNewChildInternal(c: Expression): SketchContains = copy(child = c)
   override def prettyName: String = "sketch_contains"
@@ -345,6 +417,8 @@ object sketch {
     GraftShim.column(SketchContains(GraftShim.expression(url), bc))
   def minhash_sig(shingleHashes: Column, k: Int): Column =
     GraftShim.column(MinHashSig(GraftShim.expression(shingleHashes), k))
+  def minhash_band_hashes(shingleHashes: Column, bands: Int, rows: Int): Column =
+    GraftShim.column(MinHashBandHashes(GraftShim.expression(shingleHashes), bands, rows))
   def simhash64(tokens: Column): Column =
     GraftShim.column(SimHash64(GraftShim.expression(tokens)))
   def simhash_table_keys(sim: Column, blocks: Int, maxHamming: Int): Column =

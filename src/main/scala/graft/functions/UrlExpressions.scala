@@ -89,9 +89,16 @@ object gf {
   def url_policy_host(url: Column): Column =
     GraftShim.column(UrlPolicyHost(GraftShim.expression(url)))
 
-  /** tokenize (C1): re.findall(r'\w+', text.lower()) — gcloud_indexer.py:37-41. */
+  /** tokenize (C1): re.findall(r'\w+', text.lower()) — gcloud_indexer.py:37-41.
+   * One native codegen'd scan (see [[graft.functions.Tokenize]]); equal to
+   * the composed `filter(split(lower(text), "[^a-z0-9_]+"), _ =!= "")`. */
   def tokenize(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9_]+"), t => t =!= lit(""))
+    GraftShim.column(Tokenize(GraftShim.expression(text), -1))
+
+  /** First `n` tokens of [[tokenize]] without scanning past them —
+   * byte-equal to `slice(tokenize(text), 1, n)`. */
+  def tokenize_prefix(text: Column, n: Int): Column =
+    GraftShim.column(Tokenize(GraftShim.expression(text), n))
 
   def extract_spans(raw: Column): Column =
     GraftShim.column(SpanExtract(GraftShim.expression(raw)))

@@ -20,9 +20,23 @@ package graft.functions
  */
 object UrlKit extends Serializable {
 
-  private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:".r
-
-  @inline def hasScheme(s: String): Boolean = SchemeRe.findFirstIn(s).isDefined
+  /** "^[A-Za-z][A-Za-z0-9+.-]*:" as a hand-rolled scan — this runs once
+   * per extracted href on the admission hot path (10^7+/round), where the
+   * previous anchored-Regex form allocated a Matcher + Option per call. */
+  @inline def hasScheme(s: String): Boolean = {
+    if (s.isEmpty) return false
+    val c0 = s.charAt(0)
+    if (!((c0 >= 'A' && c0 <= 'Z') || (c0 >= 'a' && c0 <= 'z'))) return false
+    var i = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ':') return true
+      if (!((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+            (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-')) return false
+      i += 1
+    }
+    false
+  }
 
   /** Domain-shape validation regex (F2, cli.py:18-21): dot-separated
    * labels of alphanumerics/hyphens (no leading/trailing hyphen, ≤ 63
@@ -99,9 +113,33 @@ object UrlKit extends Serializable {
     (url.substring(0, j), url.substring(j))
   }
 
+  /** True iff the path contains a "." or ".." SEGMENT (bounded by '/' or
+   * the string ends). Without one, removeDotSegments is the identity —
+   * every other segment (incl. interior empties and the trailing-slash
+   * shape) passes through unchanged — so the common no-dots case skips the
+   * split/ArrayBuffer/mkString entirely (admission hot path). */
+  private def hasDotSegment(path: String): Boolean = {
+    var i = path.indexOf('.')
+    while (i >= 0) {
+      if (i == 0 || path.charAt(i - 1) == '/') {
+        val n = path.length
+        if (i + 1 == n || path.charAt(i + 1) == '/') return true // "."
+        if (path.charAt(i + 1) == '.' &&
+            (i + 2 == n || path.charAt(i + 2) == '/')) return true // ".."
+      }
+      i = path.indexOf('.', i + 1)
+    }
+    false
+  }
+
   /** RFC 3986 §5.2.4 remove_dot_segments, as Python urljoin applies. */
   def removeDotSegments(path: String): String = {
     if (path.isEmpty) return path
+    // exhaustive check of the no-dot-segment identity: the ONLY dot-free
+    // input the general algorithm rewrites is the bare "//" (its single
+    // interior empty segment yields empty body + dropped suffix → "/"),
+    // which resolve() can never produce but a direct caller could pass
+    if (!hasDotSegment(path) && path != "//") return path
     val segs = path.split("/", -1)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
@@ -140,9 +178,14 @@ object UrlKit extends Serializable {
     val href = href0.trim
     if (href.isEmpty) return stripFragment(base)
     if (hasScheme(href)) {
-      // urlparse lowercases the scheme component
+      // urlparse lowercases the scheme component; skip the substring +
+      // concat allocations when it already is (the overwhelmingly common
+      // case on the admission hot path)
       val ci = href.indexOf(':')
-      return href.substring(0, ci).toLowerCase + href.substring(ci)
+      var j = 0
+      while (j < ci && !(href.charAt(j) >= 'A' && href.charAt(j) <= 'Z')) j += 1
+      return if (j == ci) href
+        else href.substring(0, ci).toLowerCase + href.substring(ci)
     }
     val baseNoFrag = stripFragment(base)
     val (root, rest) = splitAfterAuthority(baseNoFrag)

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
 /**
  * Dense-vector primitives over `array<float>` embedding columns, as native
@@ -80,6 +81,62 @@ object VectorCodegen {
   }
 }
 
+/** vec_sum_f(v: array<float>) → array<double>: element-wise sum aggregate
+ * with PARTIAL (map-side) aggregation — the Lloyd-round reducer. The
+ * previous centroid refinement posexploded every vector into (cell, pos, x)
+ * rows and paid two aggregation exchanges per round over dim×corpus rows;
+ * this buffer ships one dim-width partial sum per (partition, cell)
+ * (guide §2.3: aggregate before you shuffle). Arithmetic is identical to
+ * avg's double accumulation up to fp addition order, which already varied
+ * with partitioning. Rows shorter than the widest seen are summed over
+ * their prefix (engine inputs are fixed-width). */
+case class VecSumFloat(child: Expression,
+                       override val mutableAggBufferOffset: Int = 0,
+                       override val inputAggBufferOffset: Int = 0)
+    extends aggregate.TypedImperativeAggregate[Array[Double]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val b = if (buf.length >= n) buf else java.util.Arrays.copyOf(buf, n)
+      var i = 0
+      while (i < n) { b(i) += a.getFloat(i); i += 1 }
+      b
+    }
+  }
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    val (big, small) = if (b1.length >= b2.length) (b1, b2) else (b2, b1)
+    var i = 0
+    while (i < small.length) { big(i) += small(i); i += 1 }
+    big
+  }
+  override def eval(buf: Array[Double]): Any =
+    if (buf.length == 0) null else new GenericArrayData(buf)
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asDoubleBuffer().put(buf)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asDoubleBuffer().get(out)
+    out
+  }
+  override def withNewMutableAggBufferOffset(o: Int): VecSumFloat =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VecSumFloat =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): VecSumFloat =
+    copy(child = c)
+  override def prettyName: String = "vec_sum_f"
+}
+
 /** cosine_sim(a: array<float>, b: array<float>) → double */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -121,6 +178,9 @@ case class RhpSig(child: Expression, bits: Int) extends UnaryExpression {
 object vec {
   def cosine_sim(a: Column, b: Column): Column =
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
+  def vec_sum_f(v: Column): Column =
+    GraftShim.column(VecSumFloat(GraftShim.expression(v))
+      .toAggregateExpression(isDistinct = false))
   def rhp_sig(v: Column, bits: Int): Column =
     GraftShim.column(RhpSig(GraftShim.expression(v), bits))
   def nearest_cell(v: Column, cents: Column): Column =

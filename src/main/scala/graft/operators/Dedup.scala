@@ -51,6 +51,18 @@ object Dedup {
     df.groupBy(regexp_replace(lower(col(text)), "\\s+", " ").as("norm_text"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("dupes"))
 
+  /** Scale-adaptive fan-out for CPU-heavy per-row stages (fingerprinting,
+   * signature building): when the upstream scan yields fewer partitions
+   * than the session has cores (small/single-file inputs — a 100 TB table
+   * always scans wider than the core count), spread the rows first so the
+   * per-row work parallelizes. A no-op exactly when the input is already
+   * at least core-parallel, so no shuffle is ever added at scale; results
+   * are row-wise deterministic, so placement cannot change any output. */
+  private[operators] def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /**
    * MinHash+LSH near-dup pairs with exact verification.
    * Emits (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold,
@@ -61,24 +73,27 @@ object Dedup {
   def minhashLSH(df: DataFrame, id: String, text: String,
                  n: Int = 3, bands: Int = 32, rows: Int = 4,
                  threshold: Double = 0.8): DataFrame = {
-    val k = bands * rows
     // shingle ONCE into 64-bit hashes and drop the strings immediately:
     // signatures, banding, and exact verification all run over the hashed
     // sets (jaccard over 64-bit hashed distinct sets == jaccard over the
     // string sets up to a ~1e-15 collision). Materialized via an EAGER
     // local checkpoint so banding and verification share one shingling pass.
-    val withSig = df.select(
-      col(id).as("doc"),
-      hashedShingles(col(text), n).as("hs"))
-      .withColumn("sig", sketch.minhash_sig(col("hs"), k))
+    // r6: the k-permutation signature and the per-band bucket keys fuse
+    // into ONE expression (minhash_band_hashes) — the former pipeline
+    // materialized a k-long signature array and then ran an INTERPRETED
+    // transform(sequence…, xxhash64(slice…)) per band; band keys are opaque
+    // bucket identities, so the fused keys change nothing the LSH consumes.
+    // fanOut first: signature building is the operator's CPU-dominant
+    // per-row stage, and a single-file input would otherwise pin it to one
+    // core (no-op at scale).
+    val withSig = fanOut(df.select(col(id).as("doc"), col(text).as("txt")))
+      .select(col("doc"), hashedShingles(col("txt"), n).as("hs"))
+      .withColumn("bh", sketch.minhash_band_hashes(col("hs"), bands, rows))
       .localCheckpoint(true) // eager: banding + verification both read it
-
 
     // band → bucket key; only (doc, band, hash) goes through the shuffle
     val banded = withSig.select(
-      col("doc"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))).as(Seq("band", "bhash")))
+      col("doc"), posexplode(col("bh")).as(Seq("band", "bhash")))
 
     val l = banded.select(col("band"), col("bhash"), col("doc").as("id_a"))
     val r = banded.select(col("band"), col("bhash"), col("doc").as("id_b"))
@@ -124,9 +139,13 @@ object Dedup {
     // single shared exchange below is the only consumer of this lineage
     // (both self-join sides reuse it, and the hamming verify reads sims
     // carried through the shuffle), so tokenize+simhash runs exactly once
-    // per doc — the r3 eager checkpoint became pure overhead and is gone
-    simhashPairsFromFp(df.select(col(id).as("doc"),
-      sketch.simhash64(gf.tokenize(col(text))).as("sim")), maxHamming, blocks)
+    // per doc — the r3 eager checkpoint became pure overhead and is gone.
+    // fanOut first (r6): the tokenize+simhash map runs BEFORE the shared
+    // exchange, i.e. at the scan's parallelism — a single-file input would
+    // serialize the whole fingerprint pass on one core (no-op at scale).
+    simhashPairsFromFp(fanOut(df.select(col(id).as("doc"), col(text).as("txt_")))
+      .select(col("doc"), sketch.simhash64(gf.tokenize(col("txt_"))).as("sim")),
+      maxHamming, blocks)
   }
 
   /** The Manku bucket machinery over PRE-COMPUTED 64-bit fingerprints
@@ -181,7 +200,12 @@ object Dedup {
    * identical to the string-set Jaccard up to 64-bit collisions. */
   def jaccardBrute(df: DataFrame, id: String, text: String,
                    n: Int = 3, threshold: Double = 0.15): DataFrame = {
-    val sets = df.select(col(id).as("doc"), hashedShingles(col(text), n).as("hs"))
+    // fanOut (r6): both the shingling map and — more importantly — the
+    // LEFT side of the pair crossJoin below inherit this partitioning, so
+    // a single-partition input would otherwise verify every pair in one
+    // task (no-op at scale)
+    val sets = fanOut(df.select(col(id).as("doc"), col(text).as("txt_")))
+      .select(col("doc"), hashedShingles(col("txt_"), n).as("hs"))
       .localCheckpoint(true) // both crossJoin sides read it
     val a = sets.select(col("doc").as("id_a"), col("hs").as("hs_a"))
     val b = sets.select(col("doc").as("id_b"), col("hs").as("hs_b"))

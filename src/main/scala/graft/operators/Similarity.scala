@@ -61,13 +61,19 @@ object Similarity {
     var cents = vecs.orderBy("vec_id").limit(nCells)
       .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
     for (_ <- 1 to iters) {
+      // r6: element-wise mean per cell via ONE partially-aggregating pass
+      // (vec_sum_f buffers a dim-width double array per cell per map task)
+      // — the former posexplode → groupBy(cell, pos) → groupBy(cell)
+      // pipeline shuffled dim× the corpus rows and paid two aggregation
+      // exchanges PER LLOYD ROUND. Same arithmetic (double sums / count,
+      // cast to float) up to fp addition order, which already varied with
+      // partitioning (see the determinism note above).
       cents = ivfAssign(vecs, cents)
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("mx"))
         .groupBy(col("cell"))
-        .agg(collect_list(struct(col("pos"), col("mx"))).as("pm"))
+        .agg(graft.functions.vec.vec_sum_f(col("v")).as("sums"),
+          count(lit(1)).as("cnt"))
         .select(col("cell"),
-          transform(array_sort(col("pm")), s => s("mx").cast("float")).as("cv"))
+          transform(col("sums"), s => (s / col("cnt")).cast("float")).as("cv"))
     }
     cents
   }
