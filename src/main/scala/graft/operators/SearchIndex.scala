@@ -24,15 +24,27 @@ object SearchIndex {
    * (the reference indexes title first and appends body tokens only when
    * the url is not already posted for that term). */
   def postings(docStore: DataFrame): DataFrame = {
-    val titleTerms = docStore.select(
-      explode(gf.tokenize(col("title"))).as("term"),
-      col("url"), lit(2.0).as("weight"), col("title"))
-    val bodyTerms = docStore.select(
-      explode(gf.tokenize(col("text"))).as("term"),
-      col("url"), lit(1.0).as("weight"), col("title"))
-    titleTerms.unionByName(bodyTerms)
-      .groupBy("term", "url")
-      .agg(max("weight").as("weight"), first("title").as("title"))
+    // r6: one scan + one explode of the per-doc DISTINCT term union instead
+    // of two explode branches unioned into a (term, url) groupBy SHUFFLE —
+    // this runs once per crawl round (incremental index build), so the
+    // removed exchange is per-round cost. Equivalence: the union's
+    // max(weight) per (term, url) is 2.0 iff the term tokenizes out of the
+    // title and 1.0 otherwise, over exactly the distinct title ∪ body term
+    // set — which is array_union(title-tokens, body-tokens) exploded with
+    // an array_contains(title-tokens) weight; `first(title)` only ever saw
+    // one url's (constant) title.
+    docStore.select(col("url"), col("title"),
+        gf.tokenize(col("title")).as("tt_"),
+        gf.tokenize(col("text")).as("bt_"))
+      // coalesce: a null text column must only drop the BODY terms (the
+      // old union branch semantics), not null out the whole union
+      .select(col("url"), col("title"), col("tt_"),
+        explode(array_union(col("tt_"),
+          coalesce(col("bt_"), array().cast("array<string>")))).as("term"))
+      .select(col("term"), col("url"),
+        when(array_contains(col("tt_"), col("term")), lit(2.0))
+          .otherwise(lit(1.0)).as("weight"),
+        col("title"))
   }
 
   /** Weighted-sum search. field ∈ {content, title, url}
