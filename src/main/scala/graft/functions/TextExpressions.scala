@@ -64,6 +64,81 @@ object TextCodegen {
   }
 }
 
+object LogTsCodegen {
+  @inline private def d(b: Byte): Boolean = b >= '0' && b <= '9'
+  @inline private def ws(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Leftmost match of `(\d{4}-\d{2}-\d{2}\s+\d{2}:\d{2}:\d{2})`, else
+   * leftmost group of `\[([\d-]+\s+[\d:]+)\]`, else null — exactly
+   * LogParse's two regexp_extract calls (all pattern atoms are ASCII, so
+   * a byte scan matches at exactly the char positions the regex does; the
+   * greedy runs are over disjoint classes, so no backtracking case
+   * diverges). One pass each instead of two Java-regex executions per
+   * line on the log-query path. */
+  def extract(line: UTF8String): UTF8String = {
+    val b = line.getBytes
+    val n = b.length
+    // main: d{4}-d{2}-d{2}\s+d{2}:d{2}:d{2}
+    var i = 0
+    while (i + 16 < n) { // minimal match is 19 bytes; cheap guard below
+      if (d(b(i))) {
+        val ok = i + 10 <= n && d(b(i + 1)) && d(b(i + 2)) && d(b(i + 3)) &&
+          b(i + 4) == '-' && d(b(i + 5)) && d(b(i + 6)) && b(i + 7) == '-' &&
+          d(b(i + 8)) && d(b(i + 9))
+        if (ok) {
+          var j = i + 10
+          val wsStart = j
+          while (j < n && ws(b(j))) j += 1
+          if (j > wsStart && j + 8 <= n &&
+              d(b(j)) && d(b(j + 1)) && b(j + 2) == ':' &&
+              d(b(j + 3)) && d(b(j + 4)) && b(j + 5) == ':' &&
+              d(b(j + 6)) && d(b(j + 7)))
+            return UTF8String.fromBytes(b, i, j + 8 - i)
+        }
+      }
+      i += 1
+    }
+    // alt: \[([\d-]+\s+[\d:]+)\]
+    i = 0
+    while (i < n) {
+      if (b(i) == '[') {
+        var j = i + 1
+        val r1 = j
+        while (j < n && (d(b(j)) || b(j) == '-')) j += 1
+        if (j > r1) {
+          val w0 = j
+          while (j < n && ws(b(j))) j += 1
+          if (j > w0) {
+            val r2 = j
+            while (j < n && (d(b(j)) || b(j) == ':')) j += 1
+            if (j > r2 && j < n && b(j) == ']')
+              return UTF8String.fromBytes(b, i + 1, j - i - 1)
+          }
+        }
+      }
+      i += 1
+    }
+    null
+  }
+}
+
+/** log_ts(line) → string|null: the timestamp substring LogParse's two
+ * reference regexes would extract (main anywhere, bracketed fallback). */
+case class LogTs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(s: Any): Any =
+    LogTsCodegen.extract(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.LogTsCodegen.extract($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(c: Expression): LogTs = copy(child = c)
+  override def prettyName: String = "log_ts"
+}
+
 /** tokenize(text[, limit]) → array<string>: lowercased \w+ tokens, optionally
  * only the first `limit` (a pure prefix — equal to slice of the full form). */
 case class Tokenize(child: Expression, limit: Int) extends UnaryExpression {

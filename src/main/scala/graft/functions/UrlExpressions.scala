@@ -102,4 +102,9 @@ object gf {
 
   def extract_spans(raw: Column): Column =
     GraftShim.column(SpanExtract(GraftShim.expression(raw)))
+
+  /** Log-line timestamp substring (LogParse's two reference regexes as one
+   * byte scan); null when neither pattern matches. */
+  def log_ts(line: Column): Column =
+    GraftShim.column(LogTs(GraftShim.expression(line)))
 }

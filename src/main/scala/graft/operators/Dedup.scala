@@ -63,6 +63,19 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Size-derived shuffle width (guide §2.2: fewer, larger partitions):
+   * Catalyst's size estimate for `df`, times a row `fanout` factor the
+   * caller knows (e.g. table multiplicity), over a 64 MB target — floored
+   * at core parallelism. At bench scale this keeps a kB-sized exchange at
+   * core width instead of the session's fixed shuffle partitioning; at
+   * 100 TB the bytes term dominates and the width scales with the data. */
+  private[operators] def adaptiveWidth(df: DataFrame, fanout: Double): Int = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble * fanout
+    val byBytes = math.ceil(est / (64L << 20).toDouble).toLong
+    math.max(df.sparkSession.sparkContext.defaultParallelism,
+      math.min(byBytes, 1L << 20)).toInt
+  }
+
   /**
    * MinHash+LSH near-dup pairs with exact verification.
    * Emits (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold,
@@ -173,8 +186,11 @@ object Dedup {
         .as(Seq("tbl", "key")))
       // ONE explicit exchange on the join keys, shared by both self-join
       // sides (identical child plans → ReusedExchange): the join reads the
-      // existing hash distribution instead of building two exchanges
-      .repartition(col("tbl"), col("key"))
+      // existing hash distribution instead of building two exchanges.
+      // Width is size-derived (r6): the keyed stream is nTables× the
+      // fingerprint table's bytes — core-parallel at bench scale instead
+      // of the session's fixed width, bytes-proportional at 100 TB.
+      .repartition(adaptiveWidth(fp, nTables.toDouble), col("tbl"), col("key"))
     val l = keyed.select(col("tbl"), col("key"),
       col("doc").as("id_a"), col("sim").as("sim_a"))
     val r = keyed.select(col("tbl"), col("key"),

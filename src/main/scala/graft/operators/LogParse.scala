@@ -25,10 +25,11 @@ object LogParse {
 
   def parse(lines: DataFrame, lineCol: String, sinceEpoch: Long,
             limit: Int = 200): DataFrame = {
-    val main = regexp_extract(col(lineCol), TsRe, 1)
-    val alt = regexp_extract(col(lineCol), AltRe, 1)
-    val tsStr = when(length(main) > 0, main)
-      .when(length(alt) > 0, alt)
+    // r6: both regexes fused into one native byte scan (gf.log_ts) — same
+    // leftmost-match/priority semantics (LogTsSpec pins equality against
+    // the regexp_extract pair), one pass instead of two Pattern executions
+    // per line
+    val tsStr = graft.functions.gf.log_ts(col(lineCol))
     lines
       // try_to_timestamp: a regex match that is digit-shaped but not a real
       // timestamp ('[9999-99-99 99:99:99]') must drop the LINE, not crash

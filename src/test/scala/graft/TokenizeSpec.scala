@@ -80,6 +80,30 @@ class TokenizeSpec extends AnyFunSuite {
     assert(UrlKit.removeDotSegments("/.") == "/")
   }
 
+  test("log_ts byte scan equals the two-regex extraction exactly") {
+    import spark.implicits._
+    import graft.operators.LogParse
+    val lines = Seq(
+      "2024-01-15 10:30:45,123 - Master - INFO - evt 1",
+      "[2024-01-15 10:30:45] crawler msg 2",
+      "no timestamp line 3",
+      "x 2024-01-15\t \t10:30:45 tail", // \s+ run inside the main pattern
+      "[9999-99-99 99:99:99] digit-shaped non-date",
+      "[12-3 4:5] short runs", "[1[2-3 4:5] nested bracket",
+      "[1-2 x 3:4] broken alt then 2024-02-03 04:05:06",
+      "2024-1-15 10:30:45 too-short field [2024-01-15 10:30:45]",
+      "pre [only-dashes ::] post", "[] [ ] [1] [1 ] [ 1] [1 2]",
+      "ends with date 2024-01-15 10:30:4") // truncated seconds
+    val main = regexp_extract(col("line"), LogParse.TsRe, 1)
+    val alt = regexp_extract(col("line"), LogParse.AltRe, 1)
+    val slow = when(length(main) > 0, main).when(length(alt) > 0, alt)
+    val diff = lines.toDF("line")
+      .select(gf.log_ts(col("line")).as("fast"), slow.as("slow"))
+      .where(!(col("fast") <=> col("slow")))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("hasScheme hand-rolled scan matches the anchored-regex semantics") {
     val re = "^[A-Za-z][A-Za-z0-9+.-]*:".r
     Seq("http://x", "https:", "ftp+x.y-z:1", "a:", ":x", "1http:", "", "//x",
