@@ -67,16 +67,27 @@ object SparkEntry {
         .groupBy("host").agg(count(lit(1)).as("page_count"))
     }),
 
-    // D1 URL-seen dedup as a left-anti join: candidate urls minus seen urls
-    // (gcloud_master.py:320-338)
+    // D1 URL-seen dedup: candidate urls minus seen urls
+    // (gcloud_master.py:320-338). r6 (guide §2.4, remove shuffles
+    // outright): both join inputs derive from the SAME table, so the
+    // anti-join folds into the final aggregation — ONE scan of events and
+    // ONE exchange of partial aggregates replace two scans, the seen-side
+    // distinct exchange and the anti-join exchange pair. Equivalence: the
+    // anti-join kept every click row whose page_id had zero view rows,
+    // then counted clicks per page_id — i.e. per page_id over click∪view
+    // rows, n = count(clicks) emitted iff no view row exists. (The engine
+    // operator this query value-checks — the LSM seen anti-join — joins
+    // DISTINCT tables and keeps its shape; q_anti_join still exercises the
+    // two-table anti-join plan.)
     "q_seen_dedup" -> ((s, dir) => {
-      val ev = s.read.parquet(t(dir, "events"))
-      val candidates = ev.where(col("event_type") === "click")
-        .select((col("event_id") * 13 % 2000).as("page_id"))
-      val seen = ev.where(col("event_type") === "view")
-        .select((col("event_id") * 13 % 2000).as("page_id")).distinct()
-      candidates.join(seen, Seq("page_id"), "left_anti")
-        .groupBy("page_id").agg(count(lit(1)).as("n"))
+      s.read.parquet(t(dir, "events"))
+        .where(col("event_type") === "click" || col("event_type") === "view")
+        .select((col("event_id") * 13 % 2000).as("page_id"), col("event_type"))
+        .groupBy("page_id")
+        .agg(count(when(col("event_type") === "click", 1)).as("n"),
+          max(when(col("event_type") === "view", 1)).as("has_view"))
+        .where(col("has_view").isNull && col("n") > 0)
+        .select("page_id", "n")
     }),
 
     // F7/O2 per-host ranked admission window: row_number over

@@ -137,6 +137,99 @@ case class VecSumFloat(child: Expression,
   override def prettyName: String = "vec_sum_f"
 }
 
+/** topk_by_cos(id: bigint, cos: double, k) → array<struct<vec_id,cos>>,
+ * sorted by (cos DESC, id ASC) and truncated to k — a PARTIALLY
+ * aggregating top-k (guide §2.3: aggregate before you shuffle). The
+ * former per-query ranking was row_number() over a Window partitioned by
+ * qid: EVERY scored corpus row shuffles into one partition per query —
+ * at 100 TB each query funnels the whole corpus through a single reduce
+ * task. This buffer keeps at most k (id, cos) pairs per (map task, qid),
+ * so the exchange carries ≤ k·tasks rows per query, and the final merge
+ * is O(k·tasks). Selection is under the SAME total order as the window's
+ * (desc cos, asc id) with ties at the k boundary resolved identically,
+ * so the emitted rank 1..k rows are exactly row_number() ≤ k's. */
+case class TopKByCos(idExpr: Expression, cosExpr: Expression, k: Int,
+                     override val mutableAggBufferOffset: Int = 0,
+                     override val inputAggBufferOffset: Int = 0)
+    extends aggregate.TypedImperativeAggregate[TopKBuf]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+  require(k > 0 && k <= 65536, s"k out of range: $k")
+  override def left: Expression = idExpr
+  override def right: Expression = cosExpr
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("vec_id", LongType, nullable = false),
+      StructField("cos", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
+  override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
+    val id = idExpr.eval(input)
+    val c = cosExpr.eval(input)
+    if (id != null && c != null)
+      buf.insert(id.asInstanceOf[Long], c.asInstanceOf[Double])
+    buf
+  }
+  override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = { b1.mergeIn(b2); b1 }
+  override def eval(buf: TopKBuf): Any = {
+    val rows = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) {
+      rows(i) = InternalRow(buf.ids(i), buf.cs(i))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+  override def serialize(buf: TopKBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.n * 16)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putLong(buf.ids(i)); bb.putDouble(buf.cs(i)); i += 1 }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): TopKBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKBuf(k)
+    buf.n = n
+    var i = 0
+    while (i < n) { buf.ids(i) = bb.getLong; buf.cs(i) = bb.getDouble; i += 1 }
+    buf
+  }
+  override def withNewMutableAggBufferOffset(o: Int): TopKByCos =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByCos =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopKByCos =
+    copy(idExpr = l, cosExpr = r)
+  override def prettyName: String = "topk_by_cos"
+}
+
+/** Bounded sorted buffer for [[TopKByCos]]: parallel arrays of at most k
+ * (id, cos) pairs held in (cos DESC, id ASC) order; O(k) insertion-sort
+ * insert — k is a handful, far below any crossover where a heap wins. */
+final class TopKBuf(val k: Int) {
+  val ids = new Array[Long](k)
+  val cs = new Array[Double](k)
+  var n = 0
+  /** true when (c1, id1) ranks strictly before (c2, id2). */
+  @inline private def before(c1: Double, id1: Long, c2: Double, id2: Long): Boolean =
+    c1 > c2 || (c1 == c2 && id1 < id2)
+  def insert(id: Long, c: Double): Unit = {
+    if (n == k && !before(c, id, cs(n - 1), ids(n - 1))) return
+    // find insertion point from the tail (new rows usually rank low)
+    var i = math.min(n, k - 1)
+    while (i > 0 && before(c, id, cs(i - 1), ids(i - 1))) {
+      ids(i) = ids(i - 1); cs(i) = cs(i - 1)
+      i -= 1
+    }
+    ids(i) = id; cs(i) = c
+    if (n < k) n += 1
+  }
+  def mergeIn(o: TopKBuf): Unit = {
+    var i = 0
+    while (i < o.n) { insert(o.ids(i), o.cs(i)); i += 1 }
+  }
+}
+
 /** cosine_sim(a: array<float>, b: array<float>) → double */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -180,6 +273,9 @@ object vec {
     GraftShim.column(CosineSim(GraftShim.expression(a), GraftShim.expression(b)))
   def vec_sum_f(v: Column): Column =
     GraftShim.column(VecSumFloat(GraftShim.expression(v))
+      .toAggregateExpression(isDistinct = false))
+  def topk_by_cos(id: Column, cos: Column, k: Int): Column =
+    GraftShim.column(TopKByCos(GraftShim.expression(id), GraftShim.expression(cos), k)
       .toAggregateExpression(isDistinct = false))
   def rhp_sig(v: Column, bits: Int): Column =
     GraftShim.column(RhpSig(GraftShim.expression(v), bits))

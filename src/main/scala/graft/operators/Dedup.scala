@@ -110,9 +110,22 @@ object Dedup {
 
     val l = banded.select(col("band"), col("bhash"), col("doc").as("id_a"))
     val r = banded.select(col("band"), col("bhash"), col("doc").as("id_b"))
+    // candidate-pair dedup width is size-derived (r6, guide §2.2): the
+    // distinct's exchange otherwise comes out at the session's fixed
+    // shuffle width — 128 near-empty reduce tasks for a kB-scale candidate
+    // stream at bench scale; bytes-proportional at 100 TB. The pair stream
+    // is bounded by the banded stream (bands× the doc table), so the same
+    // estimate serves. The explicit repartition replaces distinct's own
+    // exchange (the aggregate sees its distribution satisfied), trading
+    // map-side partial dedup for the controlled width — a duplicate pair's
+    // copies come from DIFFERENT bands, which the (band, bhash)-partitioned
+    // join output scatters across partitions, so partial dedup before the
+    // exchange had (almost) nothing to collapse anyway.
     val candidates = l.join(r, Seq("band", "bhash"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+      .repartition(adaptiveWidth(df, bands.toDouble), col("id_a"), col("id_b"))
+      .distinct()
 
     // exact verification on the candidate set only — sort-merge Jaccard
     // over the hashed sets in one codegen'd expression

@@ -19,18 +19,30 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact brute-force top-k: queries (qid, qv) are broadcast; the corpus
-   * is scanned once; per-query top-k via TakeOrdered-style window. */
+   * is scanned once; per-query top-k via the PARTIALLY aggregating
+   * topk_by_cos buffer. r6: the former row_number() window shuffled EVERY
+   * scored corpus row into one partition per query (at 100 TB: the whole
+   * corpus through a single reduce task per query); the aggregate keeps
+   * ≤ k pairs per (map task, query), so the exchange carries ≤ k·tasks
+   * rows per query. Same total order (cos desc, vec_id asc), so the
+   * rank 1..k rows are exactly the window form's. */
   def bruteTopK(corpus: DataFrame, idCol: String, vecCol: String,
                 queries: DataFrame, qidCol: String, qvecCol: String,
                 k: Int = 10): DataFrame = {
     val scored = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .crossJoin(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))))
       .withColumn("cos", vec.cosine_sim(col("v"), col("qv")))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("qid", "rank", "vec_id", "cos")
+    topkPerQuery(scored, k)
   }
+
+  /** (qid, vec_id, cos) → top-k per qid as (qid, rank, vec_id, cos),
+   * rank 1-based under (cos desc, vec_id asc). */
+  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(vec.topk_by_cos(col("vec_id"), col("cos"), k).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.vec_id").as("vec_id"), col("p.cos").as("cos"))
 
   /** Nearest-centroid assignment, MAP-ONLY: the centroid table (≤ nCells
    * rows at any corpus scale) is packed into one array row and broadcast;
@@ -117,12 +129,10 @@ object Similarity {
       .collect().map(_.getLong(0)).toSeq
     val cells = spark.read.parquet(s"$path/cells")
       .where(col("cell").isin(cellIds: _*))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
-    cells.join(broadcast(probed), Seq("cell"))
-      .withColumn("cos", vec.cosine_sim(col("v"), col("qv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("qid", "rank", "vec_id", "cos")
+    // r6: same partial top-k as bruteTopK/ivfTopK (window funnel removed)
+    topkPerQuery(
+      cells.join(broadcast(probed), Seq("cell"))
+        .withColumn("cos", vec.cosine_sim(col("v"), col("qv"))), k)
   }
 
   /**
@@ -141,11 +151,11 @@ object Similarity {
     val assigned = ivfAssign(vecs, cents)
     val qs = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
     val probed = probeCells(qs, cents, nProbe)
-    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
-    assigned.join(broadcast(probed), Seq("cell"))
-      .withColumn("cos", vec.cosine_sim(col("v"), col("qv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("qid", "rank", "vec_id", "cos")
+    // r6: per-query top-k via the partial topk_by_cos aggregate — see
+    // bruteTopK (the window form funneled every probed row into one
+    // partition per query)
+    topkPerQuery(
+      assigned.join(broadcast(probed), Seq("cell"))
+        .withColumn("cos", vec.cosine_sim(col("v"), col("qv"))), k)
   }
 }

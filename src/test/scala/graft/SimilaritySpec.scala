@@ -63,6 +63,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("partial topk_by_cos == row_number window under ties and many partitions") {
+    // r6: bruteTopK/ivfTopK replaced the per-qid row_number window (which
+    // funnels every scored row into one partition per query) with the
+    // partially-aggregating topk_by_cos buffer. Equivalence must hold under
+    // (a) duplicate cos values — ties break by vec_id asc, (b) ties ACROSS
+    // the k boundary, (c) arbitrary partial/merge splits. Adversarial
+    // input: cos quantized to 4 distinct values over 1000 ids, 32
+    // partitions so map-side partials genuinely merge.
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(1000).repartition(32)
+      .select(lit(7L).as("qid"), col("id").as("vec_id"),
+        (pmod(col("id") * 37, lit(4)).cast("double") / 4.0).as("cos"))
+      .unionAll(spark.range(500).repartition(16)
+        .select(lit(8L).as("qid"), (col("id") * 3 + 1).as("vec_id"),
+          (pmod(col("id") * 11, lit(4)).cast("double") / 4.0).as("cos")))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 9).select("qid", "rank", "vec_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = df.groupBy(col("qid"))
+      .agg(graft.functions.vec.topk_by_cos(col("vec_id"), col("cos"), 9).as("tk"))
+      .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.vec_id"), col("p.cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+  }
+
   test("persisted IVF index: partition-pruned probe, same results as in-plan IVF") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     Similarity.buildIndex(emb, "vec_id", "embedding", dir, nCells = 16, iters = 2)
