@@ -70,25 +70,61 @@ object Similarity {
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                    nCells: Int, iters: Int = 2): DataFrame = {
     val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    var cents = vecs.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").cast("long").as("cell"), col("v").as("cv"))
+    centsDf(corpus.sparkSession, lloydLocal(vecs, nCells, iters))
+  }
+
+  /** Driver-held centroids → a (cell, cv) DataFrame (LocalTableScan —
+   * no job; consumers broadcast it as local data). */
+  private def centsDf(spark: SparkSession,
+                      cents: Array[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (cell, cv) => (cell, cv.toSeq) }.toSeq
+      .toDF("cell", "cv")
+  }
+
+  /** The Lloyd loop with the centroid table held ON THE DRIVER between
+   * rounds (r6): the table is ≤ nCells rows at ANY corpus scale, so each
+   * round collects nCells (cell, sums, cnt) rows — the same O(cells)
+   * driver traffic the broadcast form paid — and re-injects the means as
+   * a LITERAL into the next round's map-only assignment. What this
+   * removes is pure per-round fixed cost: the former chain re-packed the
+   * centroids with a collect_list aggregation and BUILT A BROADCAST per
+   * Lloyd round per consumer (4 broadcast jobs per q_ann_ivf run), all
+   * for 16 rows. The distributed part — one corpus pass + one vec_sum_f
+   * partial-agg exchange per round — is unchanged, so the at-scale cost
+   * is identical; centroid VALUES are identical too (same distributed
+   * sums, same double/long division, same float cast — only the delivery
+   * of the 16 rows changed). */
+  private[operators] def lloydLocal(vecs: DataFrame, nCells: Int,
+                                    iters: Int): Array[(Long, Array[Float])] = {
+    var cents: Array[(Long, Array[Float])] =
+      vecs.orderBy("vec_id").limit(nCells)
+        .select(col("vec_id").cast("long"), col("v")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     for (_ <- 1 to iters) {
-      // r6: element-wise mean per cell via ONE partially-aggregating pass
-      // (vec_sum_f buffers a dim-width double array per cell per map task)
-      // — the former posexplode → groupBy(cell, pos) → groupBy(cell)
-      // pipeline shuffled dim× the corpus rows and paid two aggregation
-      // exchanges PER LLOYD ROUND. Same arithmetic (double sums / count,
-      // cast to float) up to fp addition order, which already varied with
-      // partitioning (see the determinism note above).
-      cents = ivfAssign(vecs, cents)
+      cents = vecs
+        .select(col("v"), vec.nearest_cell(col("v"), centsLit(cents)).as("cell"))
         .groupBy(col("cell"))
         .agg(graft.functions.vec.vec_sum_f(col("v")).as("sums"),
           count(lit(1)).as("cnt"))
-        .select(col("cell"),
-          transform(col("sums"), s => (s / col("cnt")).cast("float")).as("cv"))
+        .collect()
+        .map { r =>
+          val sums = r.getSeq[Double](1)
+          val cnt = r.getLong(2)
+          // same arithmetic as the former in-plan mean: double sum / long
+          // count (double division), cast to float
+          r.getLong(0) -> sums.map(s => (s / cnt).toFloat).toArray
+        }
+        .sortBy(_._1)
     }
     cents
   }
+
+  /** Pack driver-held centroids as a literal array<struct<cell, cv>> —
+   * positionally identical to the packed broadcast row `nearest_cell`
+   * consumes (field names are irrelevant: the codegen reads by ordinal). */
+  private def centsLit(cents: Array[(Long, Array[Float])]): org.apache.spark.sql.Column =
+    typedLit(cents.map { case (c, v) => (c, v.toSeq) }.toSeq)
 
   /** Build a persisted IVF index at `path`: the cell assignment written
    * as parquet PARTITIONED BY cell (so a probe scan prunes to the probed
@@ -146,11 +182,16 @@ object Similarity {
               k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
               iters: Int = 2): DataFrame = {
     val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    val cents = ivfCentroids(corpus, idCol, vecCol, nCells, iters)
-      .localCheckpoint(true) // eager: assign + probe both read it
-    val assigned = ivfAssign(vecs, cents)
+    // r6: the centroid table lives on the driver between Lloyd rounds
+    // (lloydLocal) — the assignment consumes it as a LITERAL and the probe
+    // as a LocalTableScan, replacing the former localCheckpoint + a
+    // collect_list re-pack + broadcast build per consumer. Same values,
+    // same corpus passes; only ≤ nCells-row plumbing changed.
+    val centsArr = lloydLocal(vecs, nCells, iters)
+    val assigned = vecs.select(col("vec_id"), col("v"),
+      vec.nearest_cell(col("v"), centsLit(centsArr)).as("cell"))
     val qs = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
-    val probed = probeCells(qs, cents, nProbe)
+    val probed = probeCells(qs, centsDf(corpus.sparkSession, centsArr), nProbe)
     // r6: per-query top-k via the partial topk_by_cos aggregate — see
     // bruteTopK (the window form funneled every probed row into one
     // partition per query)
